@@ -1,0 +1,96 @@
+"""Candidate verification: MinHash estimate (reference semantics) + exact
+Jaccard.
+
+* The **MinHash estimate** is the reference's estimator ``computeSim``
+  (``/root/reference/src/Hash.cu:65-86``): per hash function, the match
+  count between the two m-lists over t*m. With m == 1 this reduces to the
+  fraction of equal signature components — computed entirely JVM-side with
+  ``zip_with`` (equality only, so two's-complement storage is safe;
+  SURVEY.md H1), keeping the hot path inside whole-stage codegen. Quirk Q2
+  (UINT64_MAX padding matches itself) is preserved: two empty docs have
+  all-UINT64_MAX signatures, which compare equal.
+* **Exact Jaccard** (north_star: "exact Jaccard verification filters
+  pairs") recomputes distinct shingle sets only for docs that appear in at
+  least one candidate pair (a left-semi join — <<1% of the corpus at scale)
+  and intersects them JVM-side via ``array_intersect`` (hash-set based,
+  O(n)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..core.shingles import distinct_shingles
+
+
+def minhash_estimate(pairs: DataFrame, signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(url_a, url_b) + signatures -> + est_sim (reference estimator)."""
+    sig_a = signatures.select(F.col("url").alias("url_a"), F.col("sig").alias("sig_a"))
+    sig_b = signatures.select(F.col("url").alias("url_b"), F.col("sig").alias("sig_b"))
+    tm = cfg.t * cfg.m
+    return (
+        pairs.join(sig_a, "url_a").join(sig_b, "url_b")
+        .withColumn(
+            "matches",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn("est_sim", F.col("matches") / F.lit(float(tm)))
+        .drop("sig_a", "sig_b")
+    )
+
+
+def shingle_sets_for(docs: DataFrame, urls: DataFrame, cfg: PipelineConfig,
+                     url_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Distinct shingle-hash sets, computed only for ``urls`` (semi join)."""
+    k = cfg.k
+    needed = docs.join(urls.select(F.col("url").alias(url_col)).distinct(),
+                       on=url_col, how="left_semi")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for text in pdf[text_col].values:
+                xs = distinct_shingles((text or "").encode("utf-8", "surrogatepass"), k)
+                outs.append(xs.view(np.int64))
+            yield pd.DataFrame({"url": pdf[url_col].values, "shingles": outs})
+
+    return needed.select(F.col(url_col), F.col(text_col)).mapInPandas(
+        gen, schema="url string, shingles array<bigint>")
+
+
+def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
+                   cfg: PipelineConfig, url_col: str = "url",
+                   text_col: str = "text") -> DataFrame:
+    """Full verification: est_sim (reference estimator) + exact jaccard.
+
+    Output: (url_a, url_b, est_sim, jaccard, is_dup) where is_dup applies
+    ``cfg.threshold`` to the *reference estimator* — the semantics the
+    recall metric is defined against (BASELINE.md).
+    """
+    est = minhash_estimate(pairs, signatures, cfg)
+    all_urls = (pairs.select(F.col("url_a").alias("url"))
+                .unionByName(pairs.select(F.col("url_b").alias("url"))).distinct())
+    sets_df = shingle_sets_for(docs, all_urls, cfg, url_col, text_col)
+    sh_a = sets_df.select(F.col("url").alias("url_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sets_df.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        est.join(sh_a, "url_a").join(sh_b, "url_b")
+        .withColumn("jaccard",
+                    F.when(union > 0, inter.cast("double") / union.cast("double"))
+                    .otherwise(F.lit(1.0)))
+        .withColumn("is_dup", F.col("est_sim") >= F.lit(cfg.threshold))
+        .select("url_a", "url_b", "est_sim", "jaccard", "is_dup")
+    )

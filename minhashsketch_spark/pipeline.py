@@ -1,0 +1,91 @@
+"""End-to-end near-duplicate pipeline with checkpointed, resumable stages.
+
+config -> read documents -> [signatures] -> [candidates] -> [verified]
+       -> [clusters], each [stage] written as a table keyed by config hash
+(SURVEY.md §3.4). Per-stage manifests record rows in/out + stage metrics
+(north_rule: "resumable from checkpoint with per-partition lineage +
+metrics").
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+from .operators.connected_components import connected_components
+from .operators.lsh import bucket_stats, candidate_pairs, explode_bands
+from .operators.signatures import compute_signatures
+from .operators.verify import verified_pairs
+from .sources.io import StageStore
+
+
+def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
+                 checkpoint_root: str | None = None,
+                 url_col: str = "url", text_col: str = "text") -> dict[str, DataFrame]:
+    """Returns {"signatures", "candidates", "verified", "clusters"} DataFrames.
+
+    With ``checkpoint_root`` set, each stage is persisted and a re-run skips
+    completed stages (kill/resume-safe: manifests are written atomically
+    after the data).
+    """
+    store = StageStore(spark, checkpoint_root, cfg.config_hash()) if checkpoint_root else None
+    timings: dict[str, float] = {}
+
+    def stage(name: str, build, metrics=None) -> DataFrame:
+        if store is not None and store.exists(name):
+            return store.read(name)
+        t0 = time.time()
+        df = build()
+        if store is not None:
+            df = store.write(name, df, metrics={} if metrics is None else metrics())
+        timings[name] = time.time() - t0
+        return df
+
+    signatures = stage("signatures", lambda: compute_signatures(docs, cfg, url_col, text_col))
+
+    def cand_metrics():
+        stats = bucket_stats(explode_bands(signatures))
+        row = stats.agg(
+            F.count("*").alias("buckets"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.sum((F.col("bucket_size") > cfg.bucket_cap).cast("long")).alias("buckets_over_cap"),
+        ).collect()[0]
+        return {"buckets": row["buckets"], "max_bucket": row["max_bucket"],
+                "buckets_over_cap": row["buckets_over_cap"]}
+
+    candidates = stage("candidates", lambda: candidate_pairs(signatures, cfg),
+                       metrics=cand_metrics)
+    verified = stage("verified",
+                     lambda: verified_pairs(candidates, signatures, docs, cfg, url_col, text_col))
+    clusters = stage("clusters",
+                     lambda: connected_components(
+                         verified.filter("is_dup").select("url_a", "url_b"),
+                         cfg.max_cc_iterations))
+    return {
+        "signatures": signatures,
+        "candidates": candidates,
+        "verified": verified,
+        "clusters": clusters,
+        "timings": timings,
+    }
+
+
+def dup_pair_recall(found_pairs: DataFrame, truth_pairs: DataFrame) -> float:
+    """Fraction of truth pairs present in found pairs (both url_a < url_b)."""
+    total = truth_pairs.count()
+    if total == 0:
+        return 1.0
+    hit = truth_pairs.join(found_pairs, ["url_a", "url_b"], "left_semi").count()
+    return hit / total
+
+
+def clusters_to_pairs(clusters: DataFrame) -> DataFrame:
+    """clusters(url, cluster_id) -> all within-cluster pairs url_a < url_b."""
+    a = clusters.select(F.col("cluster_id"), F.col("url").alias("url_a"))
+    b = clusters.select(F.col("cluster_id"), F.col("url").alias("url_b"))
+    return (a.join(b, "cluster_id")
+            .filter(F.col("url_a") < F.col("url_b"))
+            .select("url_a", "url_b"))

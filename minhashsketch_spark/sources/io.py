@@ -1,0 +1,94 @@
+"""Table IO: Iceberg when available, parquet fallback (SURVEY.md §2.2).
+
+The north_rule targets Iceberg tables of web pages; this sandbox has no
+Iceberg runtime jar (verified: PySpark 4.1.2, no iceberg-spark-runtime on
+the classpath), so every read/write goes through a thin facade that prefers
+``format("iceberg")`` and falls back to parquet. Stage checkpoints (the
+resumability mechanism) are tables keyed by config hash + stage name.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.SparkTable")
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    if iceberg_available(spark) and not path.endswith(".parquet"):
+        try:
+            return spark.read.format("iceberg").load(path)
+        except Exception:
+            pass
+    return spark.read.parquet(path)
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    if iceberg_available(df.sparkSession) and not path.endswith(".parquet"):
+        try:
+            df.writeTo(path).createOrReplace()
+            return
+        except Exception:
+            pass
+    df.write.mode(mode).parquet(path)
+
+
+class StageStore:
+    """Checkpointed stage outputs keyed by (config_hash, stage).
+
+    Layout: <root>/<config_hash>/<stage>/   (parquet or Iceberg table)
+            <root>/<config_hash>/<stage>.manifest.json  (metrics + lineage)
+
+    ``exists`` only trusts a stage whose manifest was fully written —
+    a killed run leaves data without a manifest and the stage re-runs
+    (resume-safe, SURVEY.md §7 step 7).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, config_hash: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.config_hash = config_hash
+        os.makedirs(os.path.join(root, config_hash), exist_ok=True)
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.root, self.config_hash, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return self._path(stage) + ".manifest.json"
+
+    def exists(self, stage: str) -> bool:
+        return os.path.exists(self._manifest_path(stage))
+
+    def read(self, stage: str) -> DataFrame:
+        return read_table(self.spark, self._path(stage))
+
+    def write(self, stage: str, df: DataFrame, metrics: dict | None = None) -> DataFrame:
+        path = self._path(stage)
+        write_table(df, path)
+        out = read_table(self.spark, path)
+        manifest = {
+            "stage": stage,
+            "config_hash": self.config_hash,
+            "rows": out.count(),
+            "partitions": out.rdd.getNumPartitions(),
+            "metrics": metrics or {},
+        }
+        tmp = self._manifest_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path(stage))
+        return out
+
+    def manifest(self, stage: str) -> dict:
+        with open(self._manifest_path(stage)) as f:
+            return json.load(f)

@@ -1,0 +1,192 @@
+"""Spark pipeline tests: Spark == NumPy parity, CC vs union-find oracle,
+end-to-end recall >= 0.99 vs reference-semantics clusters, resume."""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from minhashsketch_spark.config import PipelineConfig
+from minhashsketch_spark.core.shingles import (
+    band_keys,
+    distinct_shingles,
+    exact_jaccard,
+    get_family,
+    minhash_matrix,
+)
+from minhashsketch_spark.operators.connected_components import connected_components
+from minhashsketch_spark.operators.lsh import candidate_pairs, cap_hot_buckets, explode_bands
+from minhashsketch_spark.operators.signatures import compute_signatures
+from minhashsketch_spark.operators.verify import verified_pairs
+from minhashsketch_spark.pipeline import clusters_to_pairs, dup_pair_recall, run_pipeline
+from minhashsketch_spark.sources.corpus import corpus_dataframe, generate_corpus
+
+CFG = PipelineConfig(k=9, m=1, t=32, bands=8, rows=4, seed=7, threshold=0.7)
+
+
+def test_spark_signatures_equal_numpy(spark):
+    docs_df, _ = corpus_dataframe(spark, n_docs=60, seed=11)
+    sigs = compute_signatures(docs_df, CFG).orderBy("url").collect()
+    a_par, b_par = get_family(CFG.t, CFG.seed)
+    rows = docs_df.select("url", "text").orderBy("url").collect()
+    assert len(sigs) == len(rows)
+    for srow, drow in zip(sigs, rows):
+        assert srow["url"] == drow["url"]
+        xs = distinct_shingles(drow["text"].encode(), CFG.k)
+        sig_np = minhash_matrix(xs, a_par, b_par)
+        assert np.array_equal(np.array(srow["sig"], dtype=np.int64).view(np.uint64), sig_np)
+        assert srow["n_shingles"] == xs.shape[0]
+        bk = band_keys(sig_np, CFG.bands, CFG.rows)
+        assert np.array_equal(np.array(srow["bands"], dtype=np.int64), bk)
+
+
+class _UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+@pytest.mark.parametrize("graph", [
+    # chain (worst case for naive propagation)
+    [(f"u{i:03d}", f"u{i+1:03d}") for i in range(40)],
+    # two cliques + bridge + singleton edge
+    list(itertools.combinations([f"a{i}" for i in range(6)], 2))
+    + list(itertools.combinations([f"b{i}" for i in range(5)], 2))
+    + [("a0", "b0"), ("x1", "x2")],
+    # star
+    [("c0", f"c{i}") for i in range(1, 30)],
+])
+def test_connected_components_vs_union_find(spark, graph):
+    pairs = spark.createDataFrame(graph, schema="url_a string, url_b string")
+    got = {r["url"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    uf = _UF()
+    for a, b in graph:
+        uf.union(a, b)
+    nodes = {n for e in graph for n in e}
+    want_groups = {}
+    for n in nodes:
+        want_groups.setdefault(uf.find(n), []).append(n)
+    assert set(got) == nodes
+    for root, members in want_groups.items():
+        ids = {got[m] for m in members}
+        assert len(ids) == 1, f"component {members} split: {ids}"
+        assert ids.pop() == min(members)  # cluster_id = lexicographic min url
+
+
+def test_cc_randomized_vs_union_find(spark):
+    rng = np.random.RandomState(5)
+    edges = [(f"n{rng.randint(0, 120):03d}", f"n{rng.randint(0, 120):03d}") for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, schema="url_a string, url_b string")
+    got = {r["url"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    uf = _UF()
+    for a, b in edges:
+        uf.union(a, b)
+    for n in got:
+        comp_min = min(m for m in got if uf.find(m) == uf.find(n))
+        assert got[n] == comp_min
+
+
+def test_hot_bucket_capping(spark):
+    rows = [(f"u{i}", 1) for i in range(50)] + [("v1", 2), ("v2", 2)]
+    bands = spark.createDataFrame(rows, schema="url string, band_key long")
+    capped, stats = cap_hot_buckets(bands, cap=10)
+    out = capped.groupBy("band_key").count().collect()
+    sizes = {r["band_key"]: r["count"] for r in out}
+    assert sizes[1] == 10 and sizes[2] == 2
+    assert [r["band_key"] for r in stats.collect()] == [1]
+
+
+def test_end_to_end_recall_vs_reference_semantics(spark):
+    """Recall >= 0.99 against clusters computed with *reference semantics*
+    (estimator src/Hash.cu:80-86 over all pairs, then connected components
+    — the BASELINE.md metric)."""
+    cfg = PipelineConfig(k=9, m=1, t=128, bands=32, rows=4, seed=42, threshold=0.7)
+    docs, _ = generate_corpus(n_docs=300, seed=42)
+    docs_df, _ = corpus_dataframe(spark, n_docs=300, seed=42)
+
+    # oracle: brute-force all-pairs with the NumPy kernel (reference semantics)
+    a_par, b_par = get_family(cfg.t, cfg.seed)
+    sigs = {}
+    for url, _ts, _html, text, _lang in docs:
+        xs = distinct_shingles(text.encode(), cfg.k)
+        sigs[url] = minhash_matrix(xs, a_par, b_par)
+    urls = sorted(sigs)
+    ref_edges = []
+    mat = np.stack([sigs[u] for u in urls])
+    eq = None
+    for i in range(len(urls)):
+        matches = (mat[i + 1:] == mat[i]).sum(axis=1)
+        for off in np.nonzero(matches / cfg.t >= cfg.threshold)[0]:
+            ref_edges.append((urls[i], urls[i + 1 + off]))
+    uf = _UF()
+    for a, b in ref_edges:
+        uf.union(a, b)
+    truth_pairs = set()
+    by_root = {}
+    for u in {n for e in ref_edges for n in e}:
+        by_root.setdefault(uf.find(u), []).append(u)
+    for members in by_root.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            truth_pairs.add((a, b))
+    assert len(truth_pairs) > 20, "corpus must plant real dup clusters"
+
+    # pipeline
+    result = run_pipeline(spark, docs_df, cfg)
+    found = clusters_to_pairs(result["clusters"])
+    found_set = {(r["url_a"], r["url_b"]) for r in found.collect()}
+    hit = len(truth_pairs & found_set)
+    recall = hit / len(truth_pairs)
+    assert recall >= 0.99, f"recall {recall} ({hit}/{len(truth_pairs)})"
+
+
+def test_exact_jaccard_column(spark):
+    cfg = CFG
+    docs_df, _ = corpus_dataframe(spark, n_docs=80, seed=13)
+    sigs = compute_signatures(docs_df, cfg)
+    pairs = candidate_pairs(sigs, cfg)
+    ver = verified_pairs(pairs, sigs, docs_df, cfg)
+    rows = ver.collect()
+    assert len(rows) > 0
+    texts = {r["url"]: r["text"] for r in docs_df.select("url", "text").collect()}
+    for r in rows[:20]:
+        s1 = distinct_shingles(texts[r["url_a"]].encode(), cfg.k)
+        s2 = distinct_shingles(texts[r["url_b"]].encode(), cfg.k)
+        assert r["jaccard"] == pytest.approx(exact_jaccard(s1, s2), abs=1e-12)
+
+
+def test_resume_byte_identical(spark, tmp_path):
+    cfg = CFG
+    docs_df, _ = corpus_dataframe(spark, n_docs=80, seed=13)
+    root = str(tmp_path / "ckpt")
+    r1 = run_pipeline(spark, docs_df, cfg, checkpoint_root=root)
+    c1 = sorted((r["url"], r["cluster_id"]) for r in r1["clusters"].collect())
+    # second run resumes from manifests — no recompute, identical output
+    r2 = run_pipeline(spark, docs_df, cfg, checkpoint_root=root)
+    assert r2["timings"] == {}  # every stage skipped
+    c2 = sorted((r["url"], r["cluster_id"]) for r in r2["clusters"].collect())
+    assert c1 == c2
+
+
+def test_byte_identical_text_invariant(spark):
+    """input_hint: byte-identical extracted text per url end-to-end —
+    the pipeline never rewrites the documents table; assert the text survives
+    a signatures round-trip join unchanged."""
+    docs_df, _ = corpus_dataframe(spark, n_docs=50, seed=17)
+    sigs = compute_signatures(docs_df, CFG)
+    joined = docs_df.join(sigs, "url").select("url", "text")
+    a = {r["url"]: r["text"] for r in docs_df.select("url", "text").collect()}
+    b = {r["url"]: r["text"] for r in joined.collect()}
+    assert a == b
