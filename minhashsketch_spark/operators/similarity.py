@@ -1,0 +1,129 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk``      — brute-force top-k: broadcast the (small) query set,
+  JVM-side zip_with/aggregate dot products, per-query window top-k. The
+  exact baseline.
+* ``lsh_cosine_topk``  — random-hyperplane LSH bucketing (sign sketch) +
+  per-bucket brute force: the 100 TB scale path (each probe touches only
+  matching buckets; multi-probe via Hamming-1 neighbors for recall).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """For each query vector: top-k nearest corpus vectors by cosine.
+
+    queries(query_id, embedding). Plan: broadcast-nested-loop join of the
+    tiny query set against the corpus scan — one pass over the corpus, no
+    shuffle except the final per-query top-k (a k-row agg per query).
+    """
+    q = queries.select(F.col("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).cast("array<double>").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def hyperplane_signs(embeddings: DataFrame, n_planes: int = 16, seed: int = 7,
+                     dim: int = 64, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket) — sign sketch under n_planes random hyperplanes."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].values).astype(np.float64)
+            proj = vecs @ planes.T  # (n, n_planes)
+            bits = (proj > 0).astype(np.int64)
+            bucket = (bits << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col].values, "bucket": bucket})
+
+    return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, schema="vec_id bigint, bucket bigint")
+
+
+def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                    n_planes: int = 12, seed: int = 7, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's bucket or a
+    Hamming-1 neighbor bucket are scored (multi-probe LSH). At 10^12
+    vectors this turns a full scan into ~(1+n_planes)/2^n_planes of it."""
+    corpus_b = hyperplane_signs(embeddings, n_planes, seed, dim, id_col, vec_col)
+    q_b = hyperplane_signs(
+        queries.select(F.col("query_id").alias(id_col), F.col(vec_col)),
+        n_planes, seed, dim, id_col, vec_col,
+    ).select(F.col(id_col).alias("query_id"), F.col("bucket"))
+    # multi-probe: query bucket + all Hamming-1 buckets
+    probes = q_b.select(
+        "query_id",
+        F.explode(
+            F.array(*([F.col("bucket")] +
+                      [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]))
+        ).alias("bucket"),
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).cast("array<double>").alias("cv"))
+    corpus = corpus_b.select(F.col(id_col).alias("neighbor_id"), "bucket").join(c, "neighbor_id")
+    q = queries.select("query_id", F.col(vec_col).cast("array<double>").alias("qv"))
+    scored = (
+        corpus.join(F.broadcast(probes), "bucket")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                             n_planes: int = 12, seed: int = 7, dim: int = 64,
+                             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucket self-join."""
+    b = hyperplane_signs(embeddings, n_planes, seed, dim, id_col, vec_col)
+    c = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    keyed = b.join(c, id_col)
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("bucket"), F.col("v").alias("va"))
+    bb = keyed.select(F.col(id_col).alias("id_b"), F.col("bucket"), F.col("v").alias("vb"))
+    return (
+        a.join(bb, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )
