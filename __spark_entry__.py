@@ -291,9 +291,14 @@ def oracle_sql() -> dict[str, str]:
               FROM toks WHERE len(t) >= 3
             ),
             sizes AS (SELECT doc_id, count(*) AS n_tg FROM tg GROUP BY doc_id),
+            rare AS (
+              SELECT tg.doc_id, tg.trigram FROM tg
+              JOIN (SELECT trigram FROM tg GROUP BY trigram HAVING count(*) <= 50) r
+                ON tg.trigram = r.trigram
+            ),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-              FROM tg a JOIN tg b ON a.trigram = b.trigram AND a.doc_id < b.doc_id
+              FROM rare a JOIN rare b ON a.trigram = b.trigram AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
             )
             SELECT id_a, id_b, n_common,

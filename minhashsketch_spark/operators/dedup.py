@@ -47,19 +47,25 @@ def trigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 
 
 def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.5,
+                        max_df: int = 50,
                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Trigram-set Jaccard for all doc pairs sharing >= 1 trigram.
+    """Trigram-set Jaccard for all doc pairs sharing >= 1 *rare* trigram.
 
     Pure relational plan (explode -> self-join -> agg), fully
     SQL-expressible for the DuckDB oracle. At scale the equi-join on
-    ``trigram`` replaces the quadratic all-pairs scan; hot trigrams
-    (boilerplate) should be capped like LSH buckets — here we rely on the
-    distinct-trigram join being selective.
+    ``trigram`` replaces the quadratic all-pairs scan; trigrams appearing in
+    more than ``max_df`` docs are excluded from the *join* (boilerplate
+    carries no signal and its pair expansion is O(df^2) — same skew story
+    as LSH hot buckets) while still counting toward each doc's set size, so
+    the Jaccard denominator is exact and only pairs sharing nothing but
+    ultra-common trigrams are missed.
     """
     tg = trigrams(docs, id_col, text_col)
     sizes = tg.groupBy(id_col).agg(F.count("*").alias("n_tg"))
-    a = tg.select(F.col(id_col).alias("id_a"), "trigram")
-    b = tg.select(F.col(id_col).alias("id_b"), "trigram")
+    doc_freq = tg.groupBy("trigram").agg(F.count("*").alias("df"))
+    rare = tg.join(doc_freq.filter(F.col("df") <= max_df).select("trigram"), "trigram")
+    a = rare.select(F.col(id_col).alias("id_a"), "trigram")
+    b = rare.select(F.col(id_col).alias("id_b"), "trigram")
     inter = (
         a.join(b, "trigram")
         .filter(F.col("id_a") < F.col("id_b"))

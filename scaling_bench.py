@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (BASELINE.json: throughput scaling >= 0.8
+from N to 4N executors).
+
+No real cluster exists in this sandbox, so the SAME job runs via
+``spark-submit --py-files`` at ``local[8]`` and ``local[32]`` on the SAME
+input (north-rule-sanctioned evidence). The measured job is the
+throughput-critical path: signatures -> LSH bands -> capped candidate join
+-> verification count, on a seeded synthetic webtext corpus (2-8 KB docs).
+
+Usage:
+  python scaling_bench.py prepare [n_docs]    # build corpus parquet once
+  spark-submit --master local[N] --py-files minhashsketch_spark.zip \
+      scaling_bench.py run <corpus_path> <cpus>  # one measured run
+  python scaling_bench.py full [n_docs]       # prepare + both runs + report
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+CORPUS = "/tmp/scaling_corpus.parquet"
+ZIP = "/tmp/minhashsketch_spark.zip"
+
+
+def prepare(n_docs: int = 40000) -> None:
+    import pandas as pd
+
+    from minhashsketch_spark.sources.corpus import generate_corpus
+
+    docs, _ = generate_corpus(n_docs=n_docs, seed=42)
+    pdf = pd.DataFrame(docs, columns=["url", "warc_ts", "html", "text", "lang"])
+    pdf.to_parquet(CORPUS, index=False,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    size_mb = sum(len(t) for t in pdf.text) / 1e6
+    print(f"corpus: {n_docs} docs, {size_mb:.1f} MB text -> {CORPUS}")
+
+
+def run(corpus_path: str, cpus: int) -> None:
+    from pyspark.sql import SparkSession
+
+    from minhashsketch_spark.config import PipelineConfig
+    from minhashsketch_spark.operators.lsh import candidate_pairs
+    from minhashsketch_spark.operators.signatures import compute_signatures
+    from minhashsketch_spark.operators.verify import minhash_estimate
+
+    spark = (
+        SparkSession.builder.appName(f"scaling-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = PipelineConfig(k=9, m=1, t=128, bands=32, rows=4, seed=42, threshold=0.7)
+    docs = spark.read.parquet(corpus_path).select("url", "text") \
+        .repartition(8 * int(cpus)).cache()
+    n_docs = docs.count()  # materialize before the clock starts
+    text_bytes = docs.selectExpr("sum(length(text)) b").collect()[0]["b"]
+
+    t0 = time.time()
+    sigs = compute_signatures(docs, cfg)
+    pairs = candidate_pairs(sigs, cfg)
+    est = minhash_estimate(pairs, sigs, cfg)
+    n_dup = est.filter(est.est_sim >= cfg.threshold).count()
+    dt = time.time() - t0
+    print(json.dumps({
+        "cpus": int(cpus), "n_docs": n_docs, "text_mb": round(text_bytes / 1e6, 1),
+        "seconds": round(dt, 2), "docs_per_sec": round(n_docs / dt, 1),
+        "mb_per_sec": round(text_bytes / 1e6 / dt, 2), "dup_pairs": n_dup,
+    }))
+    spark.stop()
+
+
+def full(n_docs: int = 40000) -> None:
+    import shutil
+
+    if not os.path.exists(CORPUS):
+        prepare(n_docs)
+    if os.path.exists(ZIP):
+        os.unlink(ZIP)
+    shutil.make_archive(ZIP[:-4], "zip", ".", "minhashsketch_spark")
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            ["spark-submit", "--master", f"local[{cpus}]",
+             "--driver-memory", "48g",
+             "--py-files", ZIP, os.path.abspath(__file__),
+             "run", CORPUS, str(cpus)],
+            capture_output=True, text=True, timeout=3600)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line)
+    t8, t32 = results[8]["seconds"], results[32]["seconds"]
+    eff = (t8 / t32) / 4
+    report = {
+        "local8": results[8], "local32": results[32],
+        "speedup_8_to_32": round(t8 / t32, 2),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(report))
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "full"
+    if cmd == "prepare":
+        prepare(int(sys.argv[2]) if len(sys.argv) > 2 else 40000)
+    elif cmd == "run":
+        run(sys.argv[2], int(sys.argv[3]))
+    else:
+        full(int(sys.argv[2]) if len(sys.argv) > 2 else 40000)
