@@ -60,7 +60,7 @@ def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.5,
     the Jaccard denominator is exact and only pairs sharing nothing but
     ultra-common trigrams are missed.
     """
-    tg = trigrams(docs, id_col, text_col)
+    tg = trigrams(docs, id_col, text_col).persist()  # consumed 4x below
     sizes = tg.groupBy(id_col).agg(F.count("*").alias("n_tg"))
     doc_freq = tg.groupBy("trigram").agg(F.count("*").alias("df"))
     rare = tg.join(doc_freq.filter(F.col("df") <= max_df).select("trigram"), "trigram")
@@ -123,6 +123,7 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     Hamming 3 shares at least one exact 16-bit block) -> equi-join per
     block, then exact popcount filter. No quadratic scan.
     """
+    sim = sim.persist()  # scanned once per 16-bit block
     blocks = []
     for blk in range(4):
         shift = blk * 16

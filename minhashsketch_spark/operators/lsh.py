@@ -66,6 +66,10 @@ def candidate_pairs(signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """signatures -> distinct (url_a, url_b) candidate pairs, url_a < url_b."""
     bands = explode_bands(signatures)
     capped, _ = cap_hot_buckets(bands, cfg.bucket_cap)
+    # materialize before the self-join: otherwise Catalyst plans the
+    # signature UDF + band window TWICE (once per join side) — at scale the
+    # signature stage is the most expensive narrow stage in the pipeline
+    capped = capped.persist()
     left = capped.alias("l")
     right = capped.alias("r")
     pairs = (

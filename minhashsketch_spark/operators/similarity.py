@@ -116,7 +116,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     """Embedding-cosine near-duplicate pairs via bucket self-join."""
     b = hyperplane_signs(embeddings, n_planes, seed, dim, id_col, vec_col)
     c = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    keyed = b.join(c, id_col)
+    keyed = b.join(c, id_col).persist()  # both sides of the self-join
     a = keyed.select(F.col(id_col).alias("id_a"), F.col("bucket"), F.col("v").alias("va"))
     bb = keyed.select(F.col(id_col).alias("id_b"), F.col("bucket"), F.col("v").alias("vb"))
     return (

@@ -78,10 +78,15 @@ def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
     ``cfg.threshold`` to the *reference estimator* — the semantics the
     recall metric is defined against (BASELINE.md).
     """
+    # both stages consume ``signatures``/``sets_df`` twice (a-side, b-side);
+    # persist so the UDFs run once. In the full pipeline these arrive as
+    # checkpointed tables and the persist is a cheap cache of the scan.
+    signatures = signatures.persist()
+    pairs = pairs.persist()
     est = minhash_estimate(pairs, signatures, cfg)
     all_urls = (pairs.select(F.col("url_a").alias("url"))
                 .unionByName(pairs.select(F.col("url_b").alias("url"))).distinct())
-    sets_df = shingle_sets_for(docs, all_urls, cfg, url_col, text_col)
+    sets_df = shingle_sets_for(docs, all_urls, cfg, url_col, text_col).persist()
     sh_a = sets_df.select(F.col("url").alias("url_a"), F.col("shingles").alias("sh_a"))
     sh_b = sets_df.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
