@@ -33,6 +33,10 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
     """
     store = StageStore(spark, checkpoint_root, cfg.config_hash()) if checkpoint_root else None
     timings: dict[str, float] = {}
+    # Arrow batch sizing for the signature UDF — the analogue of the
+    # reference's CHUNKS sizing (src/MinhashSketch.cu:304-330)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(cfg.arrow_batch_rows))
 
     def stage(name: str, build, metrics=None) -> DataFrame:
         if store is not None and store.exists(name):
