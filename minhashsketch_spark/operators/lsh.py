@@ -5,19 +5,24 @@ candidates") — the reference compares exactly two documents (O16) and has no
 join; at 10^12 docs the all-pairs comparison becomes this band-bucket
 self-join.
 
-Scale design (the shuffle hotspot of the whole pipeline):
-* one shuffle to group by ``band_key``; AQE skew-join enabled as backstop;
-* **hot-bucket capping** (north_rule: "partitioning / shuffle / skew handled
-  explicitly"): boilerplate/empty pages collapse into mega-buckets whose
-  pair expansion is O(n^2). Buckets over ``cfg.bucket_cap`` are
-  deterministically down-sampled with a window ordered by ``xxhash64(url)``
-  (a seeded, stable order — no ``rand()`` so resume is byte-identical).
-  Capped bucket counts are reported in the metrics so silent truncation is
-  visible. Connected-components transitivity recovers cluster membership
-  for most docs dropped from a mega bucket (they still pair in other
-  bands).
-* pair emission via self-equi-join on band_key with ``url_a < url_b``;
-  dedup across bands with ``dropDuplicates``.
+Scale design (the shuffle hotspot of the whole pipeline — north_rule:
+"partitioning / shuffle / skew handled explicitly"):
+
+* one shuffle groups by ``band_key``; AQE skew-join enabled as backstop.
+* **hot-bucket salting**: boilerplate/empty pages collapse into mega-buckets
+  whose pair expansion is O(n^2). A bucket of size s > cap is split into
+  ``n_salt = ceil(s/cap)`` sub-buckets by ``pmod(xxhash64(url), n_salt)``
+  (seeded, stable — resume stays byte-identical); pairs are generated
+  within sub-buckets only, bounding the expansion at O(s * cap) instead of
+  O(s^2) while *keeping every document* (nothing is dropped).
+* **chain links**: salting alone would disconnect exact-duplicate groups
+  that straddle sub-buckets, so each hot bucket also emits a linear chain
+  of candidate pairs ordered by (sig_key, url) — identical signatures sort
+  adjacent, so exact-dup groups stay connected through verification (their
+  est_sim is 1.0) at O(s) extra candidates. False chain candidates are
+  pruned by verification, never reaching the cluster stage.
+* pair emission via self-equi-join on (band_key, salt) with
+  ``url_a < url_b``; dedup across bands with ``dropDuplicates``.
 """
 
 from __future__ import annotations
@@ -30,52 +35,54 @@ from ..config import PipelineConfig
 
 
 def explode_bands(signatures: DataFrame) -> DataFrame:
-    """(url, bands[b]) -> (url, band_key) — one row per (doc, band)."""
-    return signatures.select("url", F.explode("bands").alias("band_key"))
+    """(url, sig_key, bands[b]) -> (url, sig_key, band_key)."""
+    cols = ["url"] + (["sig_key"] if "sig_key" in signatures.columns else [])
+    return signatures.select(*cols, F.explode("bands").alias("band_key"))
 
 
 def bucket_stats(bands: DataFrame) -> DataFrame:
-    """Per-bucket sizes — drives skew handling and metrics."""
+    """Per-bucket sizes — drives skew metrics."""
     return bands.groupBy("band_key").agg(F.count("*").alias("bucket_size"))
 
 
-def cap_hot_buckets(bands: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
-    """Deterministically keep <= cap docs per bucket.
-
-    Returns (capped_bands, capped_bucket_stats). Buckets of size 1 generate
-    no pairs and are dropped early (the common case — most buckets are
-    singletons), shrinking the join input dramatically.
-    """
-    w = Window.partitionBy("band_key").orderBy(F.xxhash64("url"))
-    sized = bands.withColumn("bucket_size", F.count("*").over(Window.partitionBy("band_key")))
+def salt_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
+    """Attach (bucket_size, n_salt, salt); drop singleton buckets early
+    (they generate no pairs — the common case by far)."""
+    w = Window.partitionBy("band_key")
+    sized = bands.withColumn("bucket_size", F.count("*").over(w))
     multi = sized.filter(F.col("bucket_size") >= 2)
-    capped = (
-        multi.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= cap)
-        .select("url", "band_key")
+    return (
+        multi.withColumn("n_salt",
+                         F.ceil(F.col("bucket_size") / F.lit(cap)).cast("int"))
+        .withColumn("salt",
+                    F.when(F.col("n_salt") <= 1, F.lit(0))
+                    .otherwise(F.pmod(F.xxhash64("url"), F.col("n_salt")).cast("int")))
     )
-    capped_stats = (
-        sized.filter(F.col("bucket_size") > cap)
-        .groupBy("band_key")
-        .agg(F.first("bucket_size").alias("bucket_size"))
-    )
-    return capped, capped_stats
 
 
 def candidate_pairs(signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """signatures -> distinct (url_a, url_b) candidate pairs, url_a < url_b."""
     bands = explode_bands(signatures)
-    capped, _ = cap_hot_buckets(bands, cfg.bucket_cap)
+    salted = salt_hot_buckets(bands, cfg.bucket_cap)
     # materialize before the self-join: otherwise Catalyst plans the
-    # signature UDF + band window TWICE (once per join side) — at scale the
+    # signature UDF + band windows TWICE (once per join side) — at scale the
     # signature stage is the most expensive narrow stage in the pipeline
-    capped = capped.persist()
-    left = capped.alias("l")
-    right = capped.alias("r")
-    pairs = (
-        left.join(right, on="band_key")
-        .filter(F.col("l.url") < F.col("r.url"))
-        .select(F.col("l.url").alias("url_a"), F.col("r.url").alias("url_b"))
-        .dropDuplicates(["url_a", "url_b"])
+    salted = salted.persist()
+
+    left = salted.select("band_key", "salt", F.col("url").alias("url_a"))
+    right = salted.select("band_key", "salt", F.col("url").alias("url_b"))
+    within = (
+        left.join(right, on=["band_key", "salt"])
+        .filter(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
     )
-    return pairs
+
+    wchain = Window.partitionBy("band_key").orderBy("sig_key", "url")
+    chains = (
+        salted.filter(F.col("n_salt") > 1)
+        .withColumn("prev", F.lag("url").over(wchain))
+        .filter(F.col("prev").isNotNull())
+        .select(F.least("prev", "url").alias("url_a"),
+                F.greatest("prev", "url").alias("url_b"))
+    )
+    return within.union(chains).dropDuplicates(["url_a", "url_b"])

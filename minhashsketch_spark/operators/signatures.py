@@ -36,7 +36,8 @@ from ..core.shingles import (
     minhash_matrix,
 )
 
-SIG_SCHEMA = "url string, n_shingles bigint, sig array<bigint>, bands array<bigint>"
+SIG_SCHEMA = ("url string, n_shingles bigint, sig array<bigint>, "
+              "bands array<bigint>, sig_key bigint")
 
 
 def compute_signatures(docs: DataFrame, cfg: PipelineConfig,
@@ -58,11 +59,15 @@ def compute_signatures(docs: DataFrame, cfg: PipelineConfig,
                 counts[i] = xs.shape[0]
                 sigs[i] = minhash_matrix(xs, a_par, b_par)
             bk = band_keys_batch(sigs, bands, rows) if n else np.empty((0, bands), np.int64)
+            # sig_key: one 64-bit fingerprint of the whole signature (a
+            # 1-band x t-row "band") — exact-signature groups share it
+            sk = (band_keys_batch(sigs, 1, t)[:, 0] if n else np.empty(0, np.int64))
             yield pd.DataFrame({
                 "url": urls,
                 "n_shingles": counts,
                 "sig": list(sigs.view(np.int64)),
                 "bands": list(bk),
+                "sig_key": sk,
             })
 
     return (

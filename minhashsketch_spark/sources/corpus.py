@@ -17,15 +17,18 @@ import datetime as dt
 
 import numpy as np
 
-_WORDS = [
-    "the", "of", "and", "to", "in", "is", "for", "on", "that", "with",
-    "crawl", "web", "page", "data", "index", "search", "link", "text",
-    "content", "html", "server", "cache", "spark", "shuffle", "partition",
-    "cluster", "hash", "sketch", "band", "bucket", "shingle", "token",
-    "document", "corpus", "near", "duplicate", "pipeline", "minhash",
-    "jaccard", "estimate", "signature", "threshold", "verify", "merge",
-    "quality", "language", "filter", "sample", "batch", "vector",
-]
+def _make_vocab(n: int = 20000, seed: int = 777) -> list[str]:
+    """Deterministic pseudo-word vocabulary. Must be LARGE: with a tiny
+    vocabulary, two random documents share most of their char shingles and
+    the whole corpus becomes one near-dup blob (baseline Jaccard between
+    unrelated docs must be ~0, as in real webtext)."""
+    rng = np.random.RandomState(seed)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    lens = rng.randint(4, 10, size=n)
+    return ["".join(letters[rng.randint(0, 26, size=l)]) for l in lens]
+
+
+_WORDS = _make_vocab()
 
 _LANGS = ["en", "de", "zh"]
 

@@ -16,7 +16,7 @@ from minhashsketch_spark.core.shingles import (
     minhash_matrix,
 )
 from minhashsketch_spark.operators.connected_components import connected_components
-from minhashsketch_spark.operators.lsh import candidate_pairs, cap_hot_buckets, explode_bands
+from minhashsketch_spark.operators.lsh import candidate_pairs, explode_bands, salt_hot_buckets
 from minhashsketch_spark.operators.signatures import compute_signatures
 from minhashsketch_spark.operators.verify import verified_pairs
 from minhashsketch_spark.pipeline import clusters_to_pairs, dup_pair_recall, run_pipeline
@@ -99,14 +99,21 @@ def test_cc_randomized_vs_union_find(spark):
         assert got[n] == comp_min
 
 
-def test_hot_bucket_capping(spark):
-    rows = [(f"u{i}", 1) for i in range(50)] + [("v1", 2), ("v2", 2)]
-    bands = spark.createDataFrame(rows, schema="url string, band_key long")
-    capped, stats = cap_hot_buckets(bands, cap=10)
-    out = capped.groupBy("band_key").count().collect()
-    sizes = {r["band_key"]: r["count"] for r in out}
-    assert sizes[1] == 10 and sizes[2] == 2
-    assert [r["band_key"] for r in stats.collect()] == [1]
+def test_hot_bucket_salting(spark):
+    rows = [(f"u{i:02d}", 7, 1) for i in range(50)] + [("v1", 7, 2), ("v2", 7, 2), ("w1", 8, 3)]
+    bands = spark.createDataFrame(rows, schema="url string, sig_key long, band_key long")
+    salted = salt_hot_buckets(bands, cap=10).collect()
+    by_bucket = {}
+    for r in salted:
+        by_bucket.setdefault(r["band_key"], []).append(r)
+    # singleton bucket dropped
+    assert 3 not in by_bucket
+    # hot bucket split into ceil(50/10)=5 salts, every doc kept
+    assert len(by_bucket[1]) == 50
+    assert {r["n_salt"] for r in by_bucket[1]} == {5}
+    assert {r["salt"] for r in by_bucket[1]} <= set(range(5))
+    # small bucket: single salt 0
+    assert [r["salt"] for r in by_bucket[2]] == [0, 0]
 
 
 def test_end_to_end_recall_vs_reference_semantics(spark):
