@@ -1,0 +1,34 @@
+"""Streaming ingest: incremental signatures equal the batch stage, and a
+restart does not duplicate work (exactly-once bookkeeping)."""
+
+import numpy as np
+
+from minhashsketch_spark.config import PipelineConfig
+from minhashsketch_spark.operators.signatures import compute_signatures
+from minhashsketch_spark.sources.corpus import corpus_dataframe
+from minhashsketch_spark.streaming import incremental_signatures
+
+CFG = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=3, threshold=0.7)
+
+
+def test_incremental_signatures_match_batch(spark, tmp_path):
+    docs_df, _ = corpus_dataframe(spark, n_docs=60, seed=23)
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+    docs_df.repartition(4).write.parquet(inp)
+
+    q = incremental_signatures(spark, inp, out, ckpt, CFG)
+    q.awaitTermination(120)
+
+    got = {r["url"]: r["sig"] for r in spark.read.parquet(out).collect()}
+    want = {r["url"]: r["sig"] for r in compute_signatures(docs_df, CFG).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k]
+
+    # drain again: checkpoint prevents reprocessing -> no duplicate rows
+    q2 = incremental_signatures(spark, inp, out, ckpt, CFG)
+    q2.awaitTermination(120)
+    n = spark.read.parquet(out).count()
+    assert n == len(want)
