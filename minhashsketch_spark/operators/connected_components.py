@@ -66,13 +66,42 @@ def _fingerprint(edges: DataFrame) -> int:
     return hash((row["n"], row["h"]))
 
 
-def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def _driver_union_find(pairs: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect edges, union-find on the driver.
+
+    Identical output to the distributed loop (cluster_id = lexicographic min
+    url per component); used only under ``small_graph_threshold`` edges —
+    the iterative join machinery has ~seconds of fixed latency per
+    iteration that a 10^5-edge graph doesn't justify.
+    """
+    edges = [(r["url_a"], r["url_b"]) for r in pairs.select("url_a", "url_b").collect()]
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(u, find(u)) for u in parent]
+    return pairs.sparkSession.createDataFrame(rows, schema="url string, cluster_id string")
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 20,
+                         small_graph_threshold: int = 200_000) -> DataFrame:
     """pairs(url_a, url_b) -> clusters(url, cluster_id).
 
     Only nodes that appear in an edge are assigned (singletons are their own
     implicit cluster — callers union them in if needed).
     """
     spark = pairs.sparkSession
+    if small_graph_threshold > 0 and pairs.count() <= small_graph_threshold:
+        return _driver_union_find(pairs)
     url_ids = (
         pairs.select(F.col("url_a").alias("url"))
         .union(pairs.select(F.col("url_b").alias("url")))

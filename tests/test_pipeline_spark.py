@@ -68,9 +68,11 @@ class _UF:
     # star
     [("c0", f"c{i}") for i in range(1, 30)],
 ])
-def test_connected_components_vs_union_find(spark, graph):
+@pytest.mark.parametrize("threshold", [200_000, 0])  # driver fast path + distributed
+def test_connected_components_vs_union_find(spark, graph, threshold):
     pairs = spark.createDataFrame(graph, schema="url_a string, url_b string")
-    got = {r["url"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    got = {r["url"]: r["cluster_id"]
+           for r in connected_components(pairs, small_graph_threshold=threshold).collect()}
     uf = _UF()
     for a, b in graph:
         uf.union(a, b)
@@ -90,7 +92,8 @@ def test_cc_randomized_vs_union_find(spark):
     edges = [(f"n{rng.randint(0, 120):03d}", f"n{rng.randint(0, 120):03d}") for _ in range(150)]
     edges = [(a, b) for a, b in edges if a != b]
     pairs = spark.createDataFrame(edges, schema="url_a string, url_b string")
-    got = {r["url"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    got = {r["url"]: r["cluster_id"]
+           for r in connected_components(pairs, small_graph_threshold=0).collect()}
     uf = _UF()
     for a, b in edges:
         uf.union(a, b)
