@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import _native
 from .rng import MERSENNE_P, generate_hashes_ab
 
 _P = np.uint64(MERSENNE_P)
@@ -58,6 +59,9 @@ def minhash_matrix(xs: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """
     if xs.shape[0] == 0:
         return np.full(a.shape[0], UINT64_MAX, dtype=np.uint64)
+    native = _native.native_minhash(xs, a, b, MERSENNE_P)
+    if native is not None:
+        return native
     # (t, n) = (a[:,None] * xs[None,:] + b[:,None]) % p, wrapping mod 2**64
     # exactly like the C++ uint64 arithmetic before the % p. Since
     # 2**64 < 2p, the mod is a single conditional subtract — ~4x faster

@@ -27,7 +27,7 @@ CORPUS = "/tmp/scaling_corpus.parquet"
 ZIP = "/tmp/minhashsketch_spark.zip"
 
 
-def prepare(n_docs: int = 40000) -> None:
+def prepare(n_docs: int = 120000) -> None:
     import pandas as pd
 
     from minhashsketch_spark.sources.corpus import generate_corpus
@@ -64,7 +64,7 @@ def run(corpus_path: str, cpus: int) -> None:
     text_bytes = docs.selectExpr("sum(length(text)) b").collect()[0]["b"]
 
     t0 = time.time()
-    sigs = compute_signatures(docs, cfg)
+    sigs = compute_signatures(docs, cfg).persist()
     pairs = candidate_pairs(sigs, cfg)
     est = minhash_estimate(pairs, sigs, cfg)
     n_dup = est.filter(est.est_sim >= cfg.threshold).count()
@@ -77,7 +77,7 @@ def run(corpus_path: str, cpus: int) -> None:
     spark.stop()
 
 
-def full(n_docs: int = 40000) -> None:
+def full(n_docs: int = 120000) -> None:
     import shutil
 
     if not os.path.exists(CORPUS):
@@ -111,8 +111,8 @@ def full(n_docs: int = 40000) -> None:
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "full"
     if cmd == "prepare":
-        prepare(int(sys.argv[2]) if len(sys.argv) > 2 else 40000)
+        prepare(int(sys.argv[2]) if len(sys.argv) > 2 else 120000)
     elif cmd == "run":
         run(sys.argv[2], int(sys.argv[3]))
     else:
-        full(int(sys.argv[2]) if len(sys.argv) > 2 else 40000)
+        full(int(sys.argv[2]) if len(sys.argv) > 2 else 120000)

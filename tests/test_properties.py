@@ -106,3 +106,23 @@ def test_minhash_doc_order_invariance(texts):
              for t in reversed(texts)]
     for s1, s2 in zip(sigs1, reversed(sigs2)):
         assert np.array_equal(s1, s2)
+
+
+def test_native_minhash_equals_numpy():
+    import os
+
+    from minhashsketch_spark.core import _native
+
+    rng = np.random.RandomState(9)
+    a_par, b_par = get_family(64, 21)
+    for n in (0, 1, 7, 1000):
+        xs = np.unique(rng.randint(0, 2**63, size=max(n, 1)).astype(np.uint64))[:n]
+        os.environ["MHS_DISABLE_NATIVE"] = "1"
+        _native._tried = False
+        _native._lib = None
+        ref = minhash_matrix(xs, a_par, b_par)
+        del os.environ["MHS_DISABLE_NATIVE"]
+        _native._tried = False
+        _native._lib = None
+        got = minhash_matrix(xs, a_par, b_par)
+        assert np.array_equal(ref, got)
