@@ -126,6 +126,14 @@ def _q_embedding_near_dup(spark, sf_dir):
     return S.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.5)
 
 
+def _q_corpus_sketch(spark, sf_dir):
+    from minhashsketch_spark.operators.corpus_sketch import corpus_sketch_df
+    from minhashsketch_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(k=9, m=4, t=16, bands=4, rows=4, seed=42, threshold=0.7)
+    return corpus_sketch_df(_docs(spark, sf_dir), cfg)
+
+
 def _q_multimodal_features(spark, sf_dir):
     media = MM.media_from_documents(_docs(spark, sf_dir))
     feats = MM.extract_features(media, fake=True)
@@ -208,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         # multimodal plumbing
         "multimodal_features": _q_multimodal_features,
+        "corpus_sketch": _q_corpus_sketch,
         # relational coverage (scan/filter/agg/join/window — §2.2)
         "tpch_q1": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,

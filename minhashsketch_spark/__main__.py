@@ -1,0 +1,113 @@
+"""CLI entrypoint — the Spark re-expression of the reference CLI (O1/O17,
+``/root/reference/src/main.cu:154-309``).
+
+  python -m minhashsketch_spark dna FILE1 FILE2 [all] [-e] --k= --m= --t= [--seed=]
+      reference-compatible two-document mode: FASTA in, sketches + the
+      ``cal_name seed k m t time similarity`` row out (src/main.cu:287-307).
+  python -m minhashsketch_spark pipeline --input DIR --output DIR [--k --t --bands --rows --threshold --seed]
+      full near-dup pipeline over a documents table (parquet/Iceberg).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _dna(argv: list[str]) -> None:
+    # reference flag style: positional FILE1 FILE2 [mode], --k=, --m=, --t=, --seed=, -e
+    p = argparse.ArgumentParser(prog="minhashsketch_spark dna")
+    p.add_argument("file1")
+    p.add_argument("file2")
+    p.add_argument("mode", nargs="?", default="all",
+                   choices=["all", "minhash_parallel"])
+    p.add_argument("--k", type=int, default=9)
+    p.add_argument("--m", type=int, default=1)
+    p.add_argument("--t", type=int, default=1)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("-e", action="store_true")
+    a = p.parse_args(argv)
+    if a.seed is None:
+        import random
+        a.seed = random.SystemRandom().randint(0, 2**31 - 1)  # random_device()
+
+    from .core import compute_sim, fasta_to_string, gen_sig, generate_hashes_b
+
+    _, seq1 = fasta_to_string(a.file1)
+    _, seq2 = fasta_to_string(a.file2)
+    if len(seq1) < a.k or len(seq2) < a.k:
+        print("k cannot be greater than the size of any document")
+        sys.exit(1)
+    t0 = time.time()
+    bs = generate_hashes_b(a.t, a.seed)
+    sig1 = gen_sig(seq1.encode(), a.k, a.m, a.t, hashes_b=bs)
+    sig2 = gen_sig(seq2.encode(), a.k, a.m, a.t, hashes_b=bs)
+    similarity = compute_sim(sig1, sig2)
+    dt = time.time() - t0
+    for name, sig in (("sig1", sig1), ("sig2", sig2)):
+        print(f"{name}:  size:{sig.shape[1]}")
+        for j, row in enumerate(sig):
+            print(f"sig[{j}].size(): {len(row)}\t" + " ".join(format(v, "x") for v in row))
+    if a.e:
+        print(f"{'cal_name':>12}{'seed':>14}{'k':>5}{'m':>5}{'t':>7}{'time':>13}{'similarity':>13}")
+        print(f"{'minhash_parallel':>12}{a.seed:>14}{a.k:>5}{a.m:>5}{a.t:>7}"
+              f"{dt:>13.8f}{similarity:>13.8f}")
+    else:
+        print(f"k:{a.k}  m:{a.m}  t:{a.t}")
+        print(f"time: {dt:.8f}")
+        print(f"similarity: {similarity:.8f}")
+
+
+def _pipeline(argv: list[str]) -> None:
+    p = argparse.ArgumentParser(prog="minhashsketch_spark pipeline")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--k", type=int, default=9)
+    p.add_argument("--m", type=int, default=1)
+    p.add_argument("--t", type=int, default=128)
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--rows", type=int, default=4)
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--cpus", default="*")
+    a = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .config import PipelineConfig
+    from .pipeline import run_pipeline
+    from .sources.io import read_table, write_table
+
+    spark = (
+        SparkSession.builder.appName("minhashsketch-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    cfg = PipelineConfig(k=a.k, m=a.m, t=a.t, bands=a.bands, rows=a.rows,
+                         threshold=a.threshold, seed=a.seed)
+    docs = read_table(spark, a.input)
+    result = run_pipeline(spark, docs, cfg, checkpoint_root=a.checkpoint)
+    write_table(result["clusters"], a.output)
+    n = read_table(spark, a.output).count()
+    print(f"clusters written: {n} rows -> {a.output}")
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(2)
+    cmd, argv = sys.argv[1], sys.argv[2:]
+    if cmd == "dna":
+        _dna(argv)
+    elif cmd == "pipeline":
+        _pipeline(argv)
+    else:
+        print(__doc__)
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()
