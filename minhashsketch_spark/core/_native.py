@@ -46,14 +46,16 @@ def _build() -> "ctypes.CDLL | None":
     so = os.path.join(cache, "libminhash.so")
     if not os.path.exists(so):
         os.makedirs(cache, exist_ok=True)
-        src = os.path.join(cache, "minhash.c")
+        src = os.path.join(cache, f"minhash_{os.getpid()}.c")
+        tmp_so = os.path.join(cache, f"lib_{os.getpid()}.so")
         with open(src, "w") as f:
             f.write(_C_SRC)
         for cc in ("cc", "gcc", "clang"):
             try:
-                subprocess.run([cc, "-O3", "-shared", "-fPIC", "-o", so, src],
+                subprocess.run([cc, "-O3", "-shared", "-fPIC", "-o", tmp_so, src],
                                check=True, capture_output=True, timeout=120)
-                break
+                os.replace(tmp_so, so)  # atomic: concurrent workers never
+                break                   # dlopen a half-written library
             except Exception:
                 continue
         else:

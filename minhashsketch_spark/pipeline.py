@@ -29,8 +29,16 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
 
     With ``checkpoint_root`` set, each stage is persisted and a re-run skips
     completed stages (kill/resume-safe: manifests are written atomically
-    after the data).
+    after the data). Without it, stages checkpoint into a session-scoped
+    temp dir: downstream stages consume every UDF output from parquet, never
+    from a Spark cache — large array columns in an InMemoryRelation
+    measurably anti-scale under many-threaded readers, and the checkpoint
+    also cuts the signature UDF out of the self-join lineage.
     """
+    if checkpoint_root is None:
+        import tempfile
+
+        checkpoint_root = tempfile.mkdtemp(prefix="mhs_stages_")
     store = StageStore(spark, checkpoint_root, cfg.config_hash()) if checkpoint_root else None
     timings: dict[str, float] = {}
     # Arrow batch sizing for the signature UDF — the analogue of the
