@@ -73,14 +73,28 @@ class StageStore:
         return read_table(self.spark, self._path(stage))
 
     def write(self, stage: str, df: DataFrame, metrics: dict | None = None) -> DataFrame:
+        from pyspark.sql import functions as F
+
         path = self._path(stage)
         write_table(df, path)
         out = read_table(self.spark, path)
+        # per-partition lineage: row counts per partition of the written
+        # table (north_rule: "per-partition lineage + metrics") — skew in
+        # these numbers is the first thing to look at when a stage is slow
+        ppart = [r["count"] for r in
+                 out.groupBy(F.spark_partition_id().alias("pid")).count()
+                 .orderBy("pid").collect()]
         manifest = {
             "stage": stage,
             "config_hash": self.config_hash,
-            "rows": out.count(),
-            "partitions": out.rdd.getNumPartitions(),
+            "rows": int(sum(ppart)),
+            "partitions": len(ppart),
+            "partition_rows": ppart[:256],
+            "partition_row_stats": {
+                "min": min(ppart) if ppart else 0,
+                "max": max(ppart) if ppart else 0,
+                "mean": round(sum(ppart) / len(ppart), 1) if ppart else 0,
+            },
             "metrics": metrics or {},
         }
         tmp = self._manifest_path(stage) + ".tmp"
