@@ -126,6 +126,13 @@ def _q_embedding_near_dup(spark, sf_dir):
     return S.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.5)
 
 
+def _q_substring_dups(spark, sf_dir):
+    from minhashsketch_spark.operators.substring import substring_dup_pairs
+
+    return substring_dup_pairs(_docs_as_urls(spark, sf_dir), k=8, w=16,
+                               min_shared=2, min_lcs=64)
+
+
 def _q_corpus_sketch(spark, sf_dir):
     from minhashsketch_spark.operators.corpus_sketch import corpus_sketch_df
     from minhashsketch_spark.config import PipelineConfig
@@ -217,6 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "multimodal_features": _q_multimodal_features,
         "corpus_sketch": _q_corpus_sketch,
+        "substring_dups": _q_substring_dups,
         # relational coverage (scan/filter/agg/join/window — §2.2)
         "tpch_q1": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,

@@ -1,0 +1,102 @@
+"""Exact-substring duplicate pass (north_star "optional suffix-array pass
+for exact substring duplicates").
+
+Spark-first formulation instead of a literal distributed suffix array:
+
+1. candidates: winnowing fingerprints (Schleimer et al. 2003 — any shared
+   substring of length >= w+k-1 shares at least one fingerprint) exploded
+   and self-joined, counting shared fingerprint values;
+2. verification: exact longest-common-substring length per candidate pair
+   via binary search over rolling-hash n-gram sets (O((n+m) log n) per
+   pair) in a vectorized Arrow UDF — only the <<1% candidate pairs pay it.
+
+Output: (url_a, url_b, shared_fingerprints, lcs_len, is_substring_dup).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.shingles import shingle_hashes
+from .text import winnowing_fingerprint
+
+
+def _lcs_len(b1: bytes, b2: bytes, lo: int = 1) -> int:
+    """Longest common substring length via binary search + rolling-hash
+    n-gram set intersection (hash collisions make this an upper bound with
+    probability ~n*m/2^64 — negligible)."""
+    hi = min(len(b1), len(b2))
+    if hi < lo:
+        return 0
+
+    def shares(L: int) -> bool:
+        h1 = shingle_hashes(b1, L)
+        h2 = shingle_hashes(b2, L)
+        if h1.shape[0] == 0 or h2.shape[0] == 0:
+            return False
+        return np.intersect1d(h1, h2).shape[0] > 0
+
+    if not shares(lo):
+        return 0
+    best = lo
+    lo += 1
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if shares(mid):
+            best = mid
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    return best
+
+
+def substring_dup_pairs(docs: DataFrame, k: int = 8, w: int = 16,
+                        min_shared: int = 2, min_lcs: int = 64,
+                        id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Pairs of docs sharing a long exact substring.
+
+    Scale notes: the fingerprint join is the same shuffle shape as LSH
+    (hot fingerprints = boilerplate — capped by min_shared selectivity and
+    prunable exactly like LSH buckets); verification joins texts only for
+    candidates via left_semi-style joins.
+    """
+    fp = winnowing_fingerprint(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    exploded = fp.select(F.col("doc_id").alias(id_col),
+                         F.explode("fingerprint").alias("fp")).persist()
+    a = exploded.select(F.col(id_col).alias("url_a"), "fp")
+    b = exploded.select(F.col(id_col).alias("url_b"), "fp")
+    cands = (
+        a.join(b, "fp")
+        .filter(F.col("url_a") < F.col("url_b"))
+        .groupBy("url_a", "url_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+    ta = docs.select(F.col(id_col).alias("url_a"), F.col(text_col).alias("text_a"))
+    tb = docs.select(F.col(id_col).alias("url_b"), F.col(text_col).alias("text_b"))
+    joined = cands.join(ta, "url_a").join(tb, "url_b")
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lcs = [
+                _lcs_len((x or "").encode("utf-8", "surrogatepass"),
+                         (y or "").encode("utf-8", "surrogatepass"), lo=k)
+                for x, y in zip(pdf["text_a"].values, pdf["text_b"].values)
+            ]
+            yield pd.DataFrame({
+                "url_a": pdf["url_a"].values,
+                "url_b": pdf["url_b"].values,
+                "shared_fingerprints": pdf["shared_fingerprints"].values,
+                "lcs_len": np.array(lcs, dtype=np.int64),
+            })
+
+    out_schema = ("url_a string, url_b string, shared_fingerprints bigint, "
+                  "lcs_len bigint")
+    verified = joined.mapInPandas(verify, schema=out_schema)
+    return verified.withColumn("is_substring_dup", F.col("lcs_len") >= min_lcs)

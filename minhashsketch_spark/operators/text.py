@@ -105,9 +105,6 @@ def md5_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
 
 
-WINNOW_SCHEMA = "doc_id bigint, fingerprint array<bigint>"
-
-
 def winnowing_fingerprint(docs: DataFrame, k: int = 8, w: int = 16,
                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Winnowing (Schleimer et al. 2003): per sliding window of w shingle
@@ -130,4 +127,6 @@ def winnowing_fingerprint(docs: DataFrame, k: int = 8, w: int = 16,
                 fps.append(np.unique(win.min(axis=1)).view(np.int64))
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "fingerprint": fps})
 
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, schema=WINNOW_SCHEMA)
+    id_type = dict(zip(docs.columns, [f.dataType.simpleString() for f in docs.schema.fields]))[id_col]
+    schema = f"doc_id {id_type}, fingerprint array<bigint>"
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, schema=schema)
