@@ -62,6 +62,10 @@ def window_words(seq: bytes, k: int) -> tuple[np.ndarray, ...]:
 
     if k < 32:
         v = codes[valid]
+        if v.shape[0] == 0:
+            # all-invalid input: skip-but-emit hashes the never-updated
+            # zero window at every position (src/MinhashSketch.cu:68-70)
+            return (np.zeros(n - k + 1, dtype=np.uint64),)
         packs = _rolling_pack(v, k, 2 * k)  # value after each valid push
         # window value at original position i = value after the last push <= i
         cnt = np.cumsum(valid)  # pushes completed up to and including i
