@@ -33,6 +33,8 @@ HEADLINE = [
     "quality_score",
     "language_id",
     "winnow_fingerprint",
+    "substring_dups",
+    "corpus_sketch",
     # similarity search
     "embedding_topk",
     "embedding_topk_lsh",
