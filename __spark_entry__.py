@@ -129,8 +129,10 @@ def _q_embedding_near_dup(spark, sf_dir):
 def _q_substring_dups(spark, sf_dir):
     from minhashsketch_spark.operators.substring import substring_dup_pairs
 
+    # testdata documents share a tiny vocabulary, so fingerprint
+    # collisions are far denser than real webtext: keep the join selective
     return substring_dup_pairs(_docs_as_urls(spark, sf_dir), k=8, w=16,
-                               min_shared=2, min_lcs=64)
+                               min_shared=4, min_lcs=64, max_df=16)
 
 
 def _q_corpus_sketch(spark, sf_dir):

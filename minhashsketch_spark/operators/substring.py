@@ -58,19 +58,23 @@ def _lcs_len(b1: bytes, b2: bytes, lo: int = 1) -> int:
 
 def substring_dup_pairs(docs: DataFrame, k: int = 8, w: int = 16,
                         min_shared: int = 2, min_lcs: int = 64,
+                        max_df: int = 64,
                         id_col: str = "url", text_col: str = "text") -> DataFrame:
     """Pairs of docs sharing a long exact substring.
 
-    Scale notes: the fingerprint join is the same shuffle shape as LSH
-    (hot fingerprints = boilerplate — capped by min_shared selectivity and
-    prunable exactly like LSH buckets); verification joins texts only for
-    candidates via left_semi-style joins.
+    Scale notes: the fingerprint join is the same shuffle shape as LSH.
+    Hot fingerprints (boilerplate snippets present in > ``max_df`` docs)
+    are excluded from the join — their pair expansion is O(df^2) and a
+    snippet shared by thousands of docs is template, not duplication.
+    Verification (rolling-hash LCS) only runs on surviving candidates.
     """
     fp = winnowing_fingerprint(docs, k=k, w=w, id_col=id_col, text_col=text_col)
     exploded = fp.select(F.col("doc_id").alias(id_col),
                          F.explode("fingerprint").alias("fp")).persist()
-    a = exploded.select(F.col(id_col).alias("url_a"), "fp")
-    b = exploded.select(F.col(id_col).alias("url_b"), "fp")
+    doc_freq = exploded.groupBy("fp").agg(F.count("*").alias("df"))
+    rare = exploded.join(doc_freq.filter(F.col("df") <= max_df).select("fp"), "fp")
+    a = rare.select(F.col(id_col).alias("url_a"), "fp")
+    b = rare.select(F.col(id_col).alias("url_b"), "fp")
     cands = (
         a.join(b, "fp")
         .filter(F.col("url_a") < F.col("url_b"))
