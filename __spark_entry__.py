@@ -202,6 +202,36 @@ def _q_event_type_stats(spark, sf_dir):
     )
 
 
+def _q_tpch_q3_like(spark, sf_dir):
+    """3-way join + filter + agg + top-k (scan->SMJ/broadcast->window)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(F.col("c_mktsegment") == "BUILDING")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+             .cast("bigint").alias("revenue_c"),
+             F.count("*").alias("n_lines"))
+        .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_parts_by_brand(spark, sf_dir):
+    """agg + HAVING + avg over a dimension scan."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"),
+             F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+             F.max("p_size").alias("max_size"))
+        .filter(F.col("n_parts") >= 5)
+        .orderBy("p_brand")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # MinHash near-dup pipeline (SURVEY.md §2.1 O1-O17 re-expressed)
@@ -232,6 +262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "top_events_per_user": _q_top_events_per_user,
         "event_type_stats": _q_event_type_stats,
+        "tpch_q3_like": _q_tpch_q3_like,
+        "parts_by_brand": _q_parts_by_brand,
     }
 
 
@@ -375,5 +407,23 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    CAST(round(sum(value) * 100) AS BIGINT) AS value_c
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "tpch_q3_like": """
+            SELECT l_orderkey,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_c,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue_c DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "parts_by_brand": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_price,
+                   max(p_size) AS max_size
+            FROM part GROUP BY p_brand HAVING count(*) >= 5 ORDER BY p_brand
         """,
     }

@@ -100,13 +100,20 @@ def main() -> None:
         print(__doc__)
         sys.exit(2)
     cmd, argv = sys.argv[1], sys.argv[2:]
-    if cmd == "dna":
-        _dna(argv)
-    elif cmd == "pipeline":
-        _pipeline(argv)
-    else:
-        print(__doc__)
-        sys.exit(2)
+    try:
+        if cmd == "dna":
+            _dna(argv)
+        elif cmd == "pipeline":
+            _pipeline(argv)
+        else:
+            print(__doc__)
+            sys.exit(2)
+    except FileNotFoundError as e:
+        print(f"error: input not found: {e.filename}", file=sys.stderr)
+        sys.exit(1)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

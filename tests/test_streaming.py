@@ -32,3 +32,20 @@ def test_incremental_signatures_match_batch(spark, tmp_path):
     q2.awaitTermination(120)
     n = spark.read.parquet(out).count()
     assert n == len(want)
+
+
+def test_windowed_event_counts_match_batch(spark, tmp_path):
+    from minhashsketch_spark.streaming.windows import (
+        batch_windowed_event_counts,
+        windowed_event_counts,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    inp = str(tmp_path / "events")
+    events.repartition(3).write.parquet(inp)
+
+    q = windowed_event_counts(spark, inp, query_name="we_test")
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM we_test").collect())
+    want = sorted(tuple(r) for r in batch_windowed_event_counts(events).collect())
+    assert got == want and len(got) > 0
