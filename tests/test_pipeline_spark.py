@@ -200,3 +200,38 @@ def test_byte_identical_text_invariant(spark):
     a = {r["url"]: r["text"] for r in docs_df.select("url", "text").collect()}
     b = {r["url"]: r["text"] for r in joined.collect()}
     assert a == b
+
+
+def test_kill_mid_stage_resume(spark, tmp_path):
+    """Simulate a kill during a stage write: data present but no manifest.
+    The resume must recompute that stage (manifest is written atomically
+    AFTER the data) and the final clusters must equal a clean run."""
+    import os
+    import shutil
+
+    cfg = CFG
+    docs_df, _ = corpus_dataframe(spark, n_docs=80, seed=13)
+    clean_root = str(tmp_path / "clean")
+    r_clean = run_pipeline(spark, docs_df, cfg, checkpoint_root=clean_root)
+    want = sorted((r["url"], r["cluster_id"]) for r in r_clean["clusters"].collect())
+
+    killed_root = str(tmp_path / "killed")
+    # run once fully, then simulate the kill: drop manifests for candidates
+    # and later stages, and corrupt the candidates data dir
+    run_pipeline(spark, docs_df, cfg, checkpoint_root=killed_root)
+    chash = cfg.config_hash()
+    base = os.path.join(killed_root, chash)
+    for stage in ("candidates", "verified", "clusters"):
+        os.remove(os.path.join(base, f"{stage}.manifest.json"))
+        if stage != "candidates":
+            shutil.rmtree(os.path.join(base, stage))
+    # half-written stage: truncate one parquet part file
+    parts = [f for f in os.listdir(os.path.join(base, "candidates")) if f.endswith(".parquet")]
+    with open(os.path.join(base, "candidates", parts[0]), "wb") as f:
+        f.write(b"corrupt")
+
+    r2 = run_pipeline(spark, docs_df, cfg, checkpoint_root=killed_root)
+    assert "signatures" not in r2["timings"]          # completed stage reused
+    assert "candidates" in r2["timings"]              # killed stage recomputed
+    got = sorted((r["url"], r["cluster_id"]) for r in r2["clusters"].collect())
+    assert got == want
