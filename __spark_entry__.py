@@ -150,6 +150,20 @@ def _q_multimodal_features(spark, sf_dir):
                         F.round(F.element_at("feature", 1), 5).alias("f0"))
 
 
+def _q_exact_dedup_corpus(spark, sf_dir):
+    from minhashsketch_spark.operators.dedup_corpus import exact_dedup_corpus
+
+    return exact_dedup_corpus(_docs(spark, sf_dir)).select("doc_id", "n_chars")
+
+
+def _q_near_dedup_corpus(spark, sf_dir):
+    from minhashsketch_spark.operators.dedup_corpus import near_dedup_corpus
+
+    docs = _docs_as_urls(spark, sf_dir)
+    res = run_pipeline(spark, docs, CFG)
+    return near_dedup_corpus(docs, res["clusters"]).select("url")
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -257,6 +271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "corpus_sketch": _q_corpus_sketch,
         "substring_dups": _q_substring_dups,
+        "exact_dedup_corpus": _q_exact_dedup_corpus,
+        "near_dedup_corpus": _q_near_dedup_corpus,
         # relational coverage (scan/filter/agg/join/window — §2.2)
         "tpch_q1": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -329,6 +345,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "md5_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "exact_dedup_corpus": """
+            WITH ranked AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents
+            )
+            SELECT doc_id, n_chars FROM ranked WHERE rn = 1
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

@@ -1,0 +1,36 @@
+"""Dedup corpus output: keep-set correctness + byte-identical text."""
+
+from minhashsketch_spark.config import PipelineConfig
+from minhashsketch_spark.operators.dedup_corpus import exact_dedup_corpus, near_dedup_corpus
+from minhashsketch_spark.pipeline import run_pipeline
+from minhashsketch_spark.sources.corpus import corpus_dataframe
+
+CFG = PipelineConfig(k=9, m=1, t=32, bands=8, rows=4, seed=7, threshold=0.7)
+
+
+def test_exact_dedup_corpus(spark):
+    rows = [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "aaa")]
+    docs = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    kept = sorted((r["doc_id"], r["text"]) for r in exact_dedup_corpus(docs).collect())
+    assert kept == [(1, "aaa"), (2, "bbb"), (4, "ccc")]
+
+
+def test_near_dedup_corpus_invariants(spark):
+    docs_df, _ = corpus_dataframe(spark, n_docs=120, seed=13)
+    res = run_pipeline(spark, docs_df, CFG)
+    clusters = res["clusters"]
+    kept = near_dedup_corpus(docs_df, clusters)
+
+    n_docs = docs_df.count()
+    n_clustered = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    # kept = all docs - (clustered - one keeper per cluster)
+    assert kept.count() == n_docs - (n_clustered - n_clusters)
+    # exactly one member of each cluster survives, and it's the cluster_id
+    surviving = kept.join(clusters, "url").collect()
+    assert len(surviving) == n_clusters
+    assert all(r["url"] == r["cluster_id"] for r in surviving)
+    # byte-identical text for every kept url
+    orig = {r["url"]: r["text"] for r in docs_df.select("url", "text").collect()}
+    for r in kept.select("url", "text").collect():
+        assert orig[r["url"]] == r["text"]
