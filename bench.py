@@ -27,6 +27,8 @@ HEADLINE = [
     "near_dup_clusters",
     # dedup + text analysis
     "exact_dedup",
+    "exact_dedup_corpus",
+    "near_dedup_corpus",
     "ngram_jaccard",
     "simhash_pairs",
     "token_stats",
