@@ -1,0 +1,54 @@
+"""Training-data curation: the composed end-to-end use case.
+
+documents -> exact dedup -> near-dup dedup (MinHash+LSH+CC) -> quality +
+language filters -> curated corpus + per-step accounting. Each step is an
+existing operator; this module only composes them — the shape a 100 TB
+training-data pipeline actually runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+from .operators.dedup_corpus import exact_dedup_corpus, near_dedup_corpus
+from .operators.text import language_id, quality_score
+from .pipeline import run_pipeline
+
+
+def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
+           min_quality: float = 20.0, langs: tuple[str, ...] = ("en",),
+           checkpoint_root: str | None = None,
+           url_col: str = "url", text_col: str = "text") -> dict:
+    """Returns {"curated": DataFrame, "accounting": dict of step -> rows}.
+
+    Order matters at scale: exact dedup first (cheapest, biggest shrink on
+    crawl data), near-dup second (most expensive — runs on the exact-
+    deduped survivors), cheap per-row filters last (they don't reduce the
+    near-dup work, but running them first would change which cluster
+    member survives — keeper selection must see the full cluster).
+    """
+    accounting = {"input": docs.count()}
+
+    exact = exact_dedup_corpus(docs, id_col=url_col, text_col=text_col)
+    accounting["after_exact_dedup"] = exact.count()
+
+    result = run_pipeline(spark, exact, cfg, checkpoint_root=checkpoint_root,
+                          url_col=url_col, text_col=text_col)
+    near = near_dedup_corpus(exact, result["clusters"], url_col=url_col)
+    accounting["after_near_dedup"] = near.count()
+
+    q = quality_score(near, id_col=url_col, text_col=text_col) \
+        .select(url_col, "quality_score")
+    lid = language_id(near, id_col=url_col, text_col=text_col) \
+        .select(url_col, "detected_lang")
+    curated = (
+        near.join(q, url_col).join(lid, url_col)
+        .filter((F.col("quality_score") >= min_quality)
+                & F.col("detected_lang").isin(*langs))
+        .drop("quality_score", "detected_lang")
+    )
+    accounting["after_quality_lang"] = curated.count()
+    return {"curated": curated, "accounting": accounting,
+            "clusters": result["clusters"]}

@@ -1,0 +1,28 @@
+"""Composed curation pipeline: monotone accounting, dedup applied,
+byte-identical surviving text."""
+
+from minhashsketch_spark.config import PipelineConfig
+from minhashsketch_spark.curate import curate
+from minhashsketch_spark.sources.corpus import corpus_dataframe
+
+CFG = PipelineConfig(k=9, m=1, t=32, bands=8, rows=4, seed=7, threshold=0.7)
+
+
+def test_curate_end_to_end(spark):
+    docs_df, _ = corpus_dataframe(spark, n_docs=150, seed=21)
+    out = curate(spark, docs_df, CFG, min_quality=10.0,
+                 langs=("en", "unknown"))
+    acc = out["accounting"]
+    assert acc["input"] == 150
+    # each step only removes rows
+    assert acc["input"] >= acc["after_exact_dedup"] >= acc["after_near_dedup"] \
+        >= acc["after_quality_lang"]
+    # dedup really removed something (corpus plants exact + near dups)
+    assert acc["after_near_dedup"] < acc["input"]
+    assert acc["after_quality_lang"] > 0
+    # byte-identical text per url for every survivor
+    orig = {r["url"]: r["text"] for r in docs_df.select("url", "text").collect()}
+    for r in out["curated"].select("url", "text").collect():
+        assert orig[r["url"]] == r["text"]
+    # curated schema preserves the input_hint columns
+    assert set(out["curated"].columns) == {"url", "warc_ts", "html", "text", "lang"}
