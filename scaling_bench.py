@@ -35,22 +35,37 @@ import subprocess
 import sys
 import time
 
-CORPUS = "/tmp/scaling_corpus.parquet"
+CORPUS = "/tmp/scaling_corpus_pq"
 ZIP = "/tmp/minhashsketch_spark.zip"
 SIGS = "/tmp/scaling_sigs.parquet"
 
 
-def prepare(n_docs: int = 240000) -> None:
+def _gen_chunk(args):
     import pandas as pd
 
     from minhashsketch_spark.sources.corpus import generate_corpus
 
-    docs, _ = generate_corpus(n_docs=n_docs, seed=42)
+    idx, n, seed = args
+    docs, _ = generate_corpus(n_docs=n, seed=seed)
     pdf = pd.DataFrame(docs, columns=["url", "warc_ts", "html", "text", "lang"])
-    pdf.to_parquet(CORPUS, index=False,
+    # disambiguate urls across chunks (each chunk numbers from 0)
+    pdf["url"] = pdf["url"] + f"?chunk={idx}"
+    path = f"{CORPUS}/part-{idx:04d}.parquet"
+    pdf.to_parquet(path, index=False,
                    coerce_timestamps="us", allow_truncated_timestamps=True)
-    size_mb = sum(len(t) for t in pdf.text) / 1e6
-    print(f"corpus: {n_docs} docs, {size_mb:.1f} MB text -> {CORPUS}")
+    return int(pdf.text.str.len().sum())
+
+
+def prepare(n_docs: int = 1200000, workers: int = 8) -> None:
+    import multiprocessing as mp
+
+    os.makedirs(CORPUS, exist_ok=True)
+    chunks = max(workers * 2, 1)
+    per = n_docs // chunks
+    args = [(i, per, 42 + i) for i in range(chunks)]
+    with mp.Pool(workers) as pool:
+        sizes = pool.map(_gen_chunk, args)
+    print(f"corpus: {per*chunks} docs, {sum(sizes)/1e6:.1f} MB text -> {CORPUS}")
 
 
 def run(corpus_path: str, cpus: int) -> None:
@@ -92,7 +107,7 @@ def run(corpus_path: str, cpus: int) -> None:
     spark.stop()
 
 
-def full(n_docs: int = 240000) -> None:
+def full(n_docs: int = 1200000) -> None:
     import shutil
 
     if not os.path.exists(CORPUS):
@@ -140,8 +155,8 @@ def full(n_docs: int = 240000) -> None:
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "full"
     if cmd == "prepare":
-        prepare(int(sys.argv[2]) if len(sys.argv) > 2 else 240000)
+        prepare(int(sys.argv[2]) if len(sys.argv) > 2 else 1200000)
     elif cmd == "run":
         run(sys.argv[2], int(sys.argv[3]))
     else:
-        full(int(sys.argv[2]) if len(sys.argv) > 2 else 240000)
+        full(int(sys.argv[2]) if len(sys.argv) > 2 else 1200000)
