@@ -96,7 +96,10 @@ def _q_md5_fingerprint(spark, sf_dir):
 
 
 def _q_winnow_fingerprint(spark, sf_dir):
-    return TX.winnowing_fingerprint(_docs(spark, sf_dir))
+    # exploded (doc_id, fp) rows: array columns break the driver's
+    # canonicalizer, and the flat shape is DuckDB-oracle-expressible
+    fp = TX.winnowing_fingerprint(_docs(spark, sf_dir))
+    return fp.select("doc_id", F.explode("fingerprint").alias("fp"))
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -283,8 +286,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _winnow_oracle(k: int = 8, w: int = 16) -> str:
+    """DuckDB replica of operators/text.py::winnowing_fingerprint.
+
+    Byte-level access via hex(encode(text)) (2 hex chars per byte); the
+    polynomial rolling hash (mod 2**64, splitmix64 multiplier) is done in
+    HUGEINT with an explicit mod; signed two's-complement view at the end
+    matches Spark's bigint storage.
+    """
+    m_const = 0x9E3779B97F4A7C15
+    pows = [pow(m_const, k - 1 - j, 2**64) for j in range(k)]
+    terms = " + ".join(
+        f"((('0x' || substr(h, 2*(i+{j})-1, 2))::BIGINT)::HUGEINT * {pows[j]}::HUGEINT)"
+        for j in range(k))
+    return f"""
+        WITH hx AS (
+          SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        hashes AS (
+          SELECT doc_id, i, (({terms}) % 18446744073709551616::HUGEINT) AS hv,
+                 n - {k} + 1 AS n_h
+          FROM hx, unnest(range(1, n - {k} + 2)) AS t(i)
+          WHERE n >= {k}
+        ),
+        wmin AS (
+          SELECT doc_id, n_h, i,
+                 min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wm
+          FROM hashes
+        )
+        SELECT DISTINCT doc_id,
+               CASE WHEN wm >= 9223372036854775808::HUGEINT
+                    THEN (wm - 18446744073709551616::HUGEINT)::BIGINT
+                    ELSE wm::BIGINT END AS fp
+        FROM wmin
+        WHERE i <= greatest(n_h - {w} + 1, 1)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "winnow_fingerprint": _winnow_oracle(k=8, w=16),
         "doc_shingle_counts": """
             SELECT doc_id,
                    len(list_distinct([substring(text, i, 9)
