@@ -107,8 +107,10 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
+    # max_hamming=3: the 4x15-bit pigeonhole blocking is exact at radius 3,
+    # so the result equals the oracle's brute-force hamming scan
     sim = D.simhash(_docs(spark, sf_dir))
-    return D.simhash_near_pairs(sim, max_hamming=8)
+    return D.simhash_near_pairs(sim, max_hamming=3)
 
 
 def _q_embedding_topk(spark, sf_dir):
@@ -325,9 +327,37 @@ def _winnow_oracle(k: int = 8, w: int = 16) -> str:
     """
 
 
+def _simhash_oracle(max_hamming: int = 3, bits: int = 60) -> str:
+    """DuckDB replica of operators/dedup.py::simhash + brute-force Hamming
+    pairs (the Spark side blocks with a 4x15-bit pigeonhole — exact at
+    radius 3 — so brute force over all pairs is the equivalent oracle)."""
+    votes = ",\n                 ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(bits))
+    assemble = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(unnest(regexp_split_to_array(trim(text), '\\s+'))), 1, 15))::BIGINT AS h
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        votes AS (
+          SELECT doc_id,
+                 {votes}
+          FROM toks GROUP BY doc_id
+        ),
+        sh AS (SELECT doc_id, ({assemble})::BIGINT AS simhash FROM votes)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "winnow_fingerprint": _winnow_oracle(k=8, w=16),
+        "simhash_pairs": _simhash_oracle(max_hamming=3),
         "doc_shingle_counts": """
             SELECT doc_id,
                    len(list_distinct([substring(text, i, 9)

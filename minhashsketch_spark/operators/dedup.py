@@ -10,11 +10,6 @@ MinHash+LSH lives in signatures.py/lsh.py (the flagship path).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,78 +55,95 @@ def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.5,
     the Jaccard denominator is exact and only pairs sharing nothing but
     ultra-common trigrams are missed.
     """
-    tg = trigrams(docs, id_col, text_col).persist()  # consumed 4x below
+    # shuffle 8-byte hashed keys instead of raw trigram strings (the join on
+    # trigrams is the widest shuffle of the dedup family; xxhash64 collisions
+    # across distinct trigrams are ~df^2/2^65 — vanishing, and only ever
+    # *merge* two trigrams' postings); keys are internal, output rows only
+    # carry ids/counts so the DuckDB oracle (which joins on strings) agrees.
+    tg = (trigrams(docs, id_col, text_col)
+          .select(F.col(id_col), F.xxhash64("trigram").alias("tgh"))
+          .persist())  # consumed 4x below
     sizes = tg.groupBy(id_col).agg(F.count("*").alias("n_tg"))
-    doc_freq = tg.groupBy("trigram").agg(F.count("*").alias("df"))
-    rare = tg.join(doc_freq.filter(F.col("df") <= max_df).select("trigram"), "trigram")
-    a = rare.select(F.col(id_col).alias("id_a"), "trigram")
-    b = rare.select(F.col(id_col).alias("id_b"), "trigram")
+    doc_freq = tg.groupBy("tgh").agg(F.count("*").alias("df"))
+    rare = tg.join(doc_freq.filter(F.col("df") <= max_df).select("tgh"), "tgh")
+    a = rare.select(F.col(id_col).alias("id_a"), "tgh")
+    b = rare.select(F.col(id_col).alias("id_b"), "tgh")
     inter = (
-        a.join(b, "trigram")
+        a.join(b, "tgh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tg").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tg").alias("n_b"))
+    raw = (F.col("n_common").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    # filter on the unrounded ratio, round only in the final select — the
+    # oracle's WHERE-on-raw / SELECT-rounded structure
     return (
         inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard",
-                    F.round(F.col("n_common").cast("double")
-                            / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
-        .filter(F.col("jaccard") >= min_jaccard)
+        .filter(raw >= min_jaccard)
+        .withColumn("jaccard", F.round(raw, 6))
         .select("id_a", "id_b", "n_common", "jaccard")
     )
 
 
-SIMHASH_SCHEMA = "doc_id bigint, simhash bigint"
+SIMHASH_BITS = 60
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens (Charikar 2002): sum token-hash
-    sign vectors, take the sign per bit. Vectorized NumPy per Arrow batch."""
+    """60-bit SimHash over whitespace tokens (Charikar 2002): sum token-hash
+    sign vectors, take the sign per bit.
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.arange(64, dtype=np.uint64)
-        for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col].values):
-                toks = (text or "").split()
-                if not toks:
-                    continue
-                # FNV-1a per token, vectorized over unique tokens
-                uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-                hs = np.empty(len(uniq), dtype=np.uint64)
-                for j, tok in enumerate(uniq):
-                    h = np.uint64(0xCBF29CE484222325)
-                    for ch in tok.encode():
-                        h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                    hs[j] = h
-                bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-                weights = (2 * bitmat - 1) * counts[:, None]
-                sh = (weights.sum(axis=0) > 0).astype(np.uint64)
-                out[i] = (sh << bits).sum().astype(np.uint64).view(np.int64)
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "simhash": out})
+    Entirely JVM-side built-ins (whole-stage codegen — no Python in the hot
+    path): explode tokens, hash each with the first 15 hex chars of md5
+    (60 bits — portable to the DuckDB oracle), then one hash-agg per doc
+    with 60 conditional sums. Each token *occurrence* votes ±1 per bit,
+    which equals Charikar's count-weighted unique-token vote. Docs with no
+    tokens produce no row.
 
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, schema=SIMHASH_SCHEMA)
+    Scale: one shuffle on doc_id with map-side partial aggregation; the
+    60-column agg state is 480 bytes/doc — smaller than a signature.
+    """
+    t = F.trim(F.col(text_col))
+    toks = (
+        docs.filter(F.length(t) > 0)
+        .select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("token"))
+        .withColumn("h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint"))
+    )
+    votes = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    ]
+    sh = bit_terms[0]
+    for term in bit_terms[1:]:
+        sh = sh + term
+    return agg.select(F.col(id_col).alias("doc_id"), sh.cast("bigint").alias("simhash"))
 
 
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Scale path: block on 4 x 16-bit sub-keys (pigeonhole: any pair within
-    Hamming 3 shares at least one exact 16-bit block) -> equi-join per
-    block, then exact popcount filter. No quadratic scan.
+    Scale path: block on 4 x 15-bit sub-keys (pigeonhole: any pair within
+    Hamming 3 differs in at most 3 blocks, so it shares at least one exact
+    15-bit block) -> equi-join per block, then exact popcount filter. No
+    quadratic scan. Recall is exactly 1 for max_hamming <= 3; larger radii
+    need more blocks (pigeonhole: blocks > max_hamming).
     """
-    sim = sim.persist()  # scanned once per 16-bit block
+    sim = sim.persist()  # scanned once per 15-bit block
     blocks = []
     for blk in range(4):
-        shift = blk * 16
+        shift = blk * 15
         blocks.append(
             sim.select(
                 "doc_id", "simhash",
                 F.lit(blk).alias("blk"),
-                F.shiftrightunsigned(F.col("simhash"), shift).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                F.shiftrightunsigned(F.col("simhash"), shift).bitwiseAND(F.lit(0x7FFF)).alias("key"),
             )
         )
     keyed = blocks[0]
