@@ -62,17 +62,29 @@ def _q_minhash_candidates(spark, sf_dir):
     return candidate_pairs(sigs, CFG)
 
 
-def _q_near_dup_pairs(spark, sf_dir):
+def _near_dup_exact_pairs(spark, sf_dir):
+    """LSH candidates -> exact-Jaccard verification (north_star: 'exact
+    Jaccard verification filters pairs'). Oracle-equal to the all-pairs
+    DuckDB scan because LSH recall is 1.0 at these params on this corpus
+    (32 bands x 4 rows: a pair at jaccard 0.8 is missed w.p. (1-0.8^4)^32
+    ~= 5e-8; the planted clusters sit at >= 0.8)."""
     docs = _docs_as_urls(spark, sf_dir)
     sigs = compute_signatures(docs, CFG)
     pairs = candidate_pairs(sigs, CFG)
-    return verified_pairs(pairs, sigs, docs, CFG)
+    ver = verified_pairs(pairs, sigs, docs, CFG)
+    return ver.filter(F.col("jaccard") >= F.lit(CFG.threshold))
+
+
+def _q_near_dup_pairs(spark, sf_dir):
+    return _near_dup_exact_pairs(spark, sf_dir).select(
+        "url_a", "url_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_near_dup_clusters(spark, sf_dir):
-    docs = _docs_as_urls(spark, sf_dir)
-    res = run_pipeline(spark, docs, CFG)
-    return res["clusters"]
+    from minhashsketch_spark.operators.connected_components import connected_components
+
+    pairs = _near_dup_exact_pairs(spark, sf_dir).select("url_a", "url_b")
+    return connected_components(pairs, CFG.max_cc_iterations)
 
 
 def _q_exact_dedup(spark, sf_dir):
@@ -113,6 +125,24 @@ def _q_simhash_pairs(spark, sf_dir):
     return D.simhash_near_pairs(sim, max_hamming=3)
 
 
+CFG_M4 = PipelineConfig(k=9, m=4, t=32, bands=16, rows=2, seed=42, threshold=0.7)
+
+
+def _q_near_dup_pairs_m4(spark, sf_dir):
+    """General-m distributed pipeline at the reference's published shape
+    class (m>1, git_picture/running_example1.png is m=9): bottom-4 sketches,
+    bands over 2 functions x 4 values, two-pointer estimator verification."""
+    from minhashsketch_spark.operators.signatures import compute_signatures_m
+    from minhashsketch_spark.operators.verify import minhash_estimate_m
+
+    docs = _docs_as_urls(spark, sf_dir)
+    sigs = compute_signatures_m(docs, CFG_M4)
+    pairs = candidate_pairs(sigs, CFG_M4)
+    est = minhash_estimate_m(pairs, sigs, CFG_M4)
+    return (est.filter(F.col("est_sim") >= CFG_M4.threshold)
+            .select("url_a", "url_b", F.round("est_sim", 6).alias("est_sim")))
+
+
 def _q_embedding_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -128,7 +158,11 @@ def _q_embedding_topk_lsh(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
-    return S.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.5)
+    # testdata embeddings are unplanted random vectors (pairwise cosine max
+    # ~0.51 at sf0.01) — threshold 0.4 keeps the check non-vacuous here;
+    # recall vs brute force is pinned by pytest on a planted corpus
+    return S.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4,
+                                      n_tables=24, n_planes=4)
 
 
 def _q_substring_dups(spark, sf_dir):
@@ -149,10 +183,14 @@ def _q_corpus_sketch(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
+    # fake=False: payloads are real binary PPMs (built from text bytes) and
+    # go through the actual container parse + decode; hist bins are exact
+    # ints so the DuckDB oracle compares without float-rounding hazards
     media = MM.media_from_documents(_docs(spark, sf_dir))
-    feats = MM.extract_features(media, fake=True)
+    feats = MM.extract_features(media, fake=False)
     return feats.select("media_id", "kind", "n_bytes",
-                        F.round(F.element_at("feature", 1), 5).alias("f0"))
+                        F.element_at("hist", 1).alias("h0"),
+                        F.element_at("hist", 25).alias("h24"))
 
 
 def _q_exact_dedup_corpus(spark, sf_dir):
@@ -162,11 +200,154 @@ def _q_exact_dedup_corpus(spark, sf_dir):
 
 
 def _q_near_dedup_corpus(spark, sf_dir):
+    from minhashsketch_spark.operators.connected_components import connected_components
     from minhashsketch_spark.operators.dedup_corpus import near_dedup_corpus
 
     docs = _docs_as_urls(spark, sf_dir)
-    res = run_pipeline(spark, docs, CFG)
-    return near_dedup_corpus(docs, res["clusters"]).select("url")
+    pairs = _near_dup_exact_pairs(spark, sf_dir).select("url_a", "url_b")
+    clusters = connected_components(pairs, CFG.max_cc_iterations)
+    return near_dedup_corpus(docs, clusters).select("url")
+
+
+_CLIPS = [f"/root/reference/testing_files/sequence_clip{i}.fasta" for i in (1, 2, 3)]
+
+
+def _q_dna_similarity(spark, sf_dir):
+    """Reference parity in the driver: clip FASTAs through the Spark DNA
+    path (SpookyHash k-mer sketches + computeSim); the oracle is a literal
+    VALUES table of goldens produced by the reference compiled from its own
+    sources (tests/goldens_refcompiled.json, see tests/golden_gen/)."""
+    from minhashsketch_spark.operators.dna import (
+        dna_signatures, dna_similarity, fasta_documents)
+
+    docs = fasta_documents(spark, _CLIPS)
+    sig5 = dna_signatures(docs, k=5, m=10, t=10, seed=123)
+    sim5 = (dna_similarity(sig5, t=10, m=10)
+            .filter(F.col("doc_a") == "sequence_clip1")
+            .withColumn("k", F.lit(5)))
+    docs12 = docs.filter(F.col("doc_id") != "sequence_clip3")
+    sig31 = dna_signatures(docs12, k=31, m=9, t=5, seed=540484695)
+    sim31 = dna_similarity(sig31, t=5, m=9).withColumn("k", F.lit(31))
+    return sim5.unionByName(sim31).select(
+        "doc_a", "doc_b", "k", F.round("similarity", 8).alias("similarity"))
+
+
+def _q_dna_sketches(spark, sf_dir):
+    """Every sketch value of the clip FASTAs at both golden configs,
+    exploded to (doc_id, k, hash_idx, rank, value) rows — the driver-level
+    bit-for-bit parity check against the ref-compiled sketches."""
+    from minhashsketch_spark.operators.dna import dna_signatures, fasta_documents
+
+    docs = fasta_documents(spark, _CLIPS)
+
+    def explode_sig(sig_df, k, m):
+        return sig_df.select(
+            "doc_id", F.lit(k).alias("k"),
+            F.posexplode("sig").alias("pos", "value")
+        ).select(
+            "doc_id", "k",
+            (F.col("pos") / m).cast("int").alias("hash_idx"),
+            F.pmod("pos", F.lit(m)).cast("int").alias("rank"),
+            "value")
+
+    s5 = explode_sig(dna_signatures(docs, k=5, m=10, t=10, seed=123), 5, 10)
+    s31 = explode_sig(
+        dna_signatures(docs.filter(F.col("doc_id") != "sequence_clip3"),
+                       k=31, m=9, t=5, seed=540484695), 31, 9)
+    return s5.unionByName(s31)
+
+
+def _corpus_sketch_oracle(k: int = 9, m: int = 4, t: int = 16, seed: int = 42) -> str:
+    """DuckDB replica of operators/corpus_sketch.py at the driver config:
+    rolling-poly shingle hashes (hex-pair byte access) -> distinct union set
+    -> per-function (a*x+b) mod 2^64 then the conditional-subtract %p
+    (2^64 < 2p) -> bottom-m distinct. a*x is split into 32-bit halves to
+    stay inside INT128. The (a,b) family literals come from the same
+    MT19937 generator the Spark side broadcasts."""
+    from minhashsketch_spark.core.shingles import get_family
+
+    p = 3 * 2**62 + 17
+    a, b = get_family(t, seed)
+    m_const = 0x9E3779B97F4A7C15
+    pows = [pow(m_const, k - 1 - j, 2**64) for j in range(k)]
+    terms = " + ".join(
+        f"((('0x' || substr(h, 2*(i+{j})-1, 2))::BIGINT)::HUGEINT * {pows[j]}::HUGEINT)"
+        for j in range(k))
+    fam = ", ".join(f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+                    for j in range(t))
+    w64 = "18446744073709551616::HUGEINT"
+    return f"""
+        WITH hx AS (
+          SELECT hex(encode(text)) AS h, octet_length(encode(text)) AS n
+          FROM documents WHERE octet_length(encode(text)) >= {k}
+        ),
+        sh AS (
+          SELECT DISTINCT (({terms}) % {w64}) AS x
+          FROM hx, unnest(range(1, n - {k} + 2)) AS t(i)
+        ),
+        fam(j, a, b) AS (VALUES {fam}),
+        hv AS (
+          SELECT DISTINCT j,
+            CASE WHEN h1 >= {p}::HUGEINT THEN h1 - {p}::HUGEINT ELSE h1 END AS v
+          FROM (
+            SELECT j,
+              ((a * (x % 4294967296::HUGEINT))
+               + ((a * (x // 4294967296::HUGEINT)) % 4294967296::HUGEINT)
+                 * 4294967296::HUGEINT
+               + b) % {w64} AS h1
+            FROM fam, sh)
+        ),
+        ranked AS (
+          SELECT j, v, row_number() OVER (PARTITION BY j ORDER BY v) AS rk FROM hv
+        )
+        SELECT j AS hash_idx, (rk - 1)::INT AS rank,
+               CASE WHEN v >= 9223372036854775808::HUGEINT
+                    THEN (v - {w64})::BIGINT ELSE v::BIGINT END AS value
+        FROM ranked WHERE rk <= {m}
+    """
+
+
+def _dna_oracles() -> dict[str, str]:
+    import json
+    import os
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "goldens_refcompiled.json")) as f:
+        g = json.load(f)
+
+    def signed(v: int) -> int:
+        return v - 2**64 if v >= 2**63 else v
+
+    sim_rows = [
+        ("sequence_clip1", "sequence_clip2", 5, g["sim_clip12_k5"]),
+        ("sequence_clip1", "sequence_clip3", 5, g["sim_clip13_k5"]),
+        ("sequence_clip1", "sequence_clip2", 31, g["sim_clip12_k31"]),
+    ]
+    sim_values = ", ".join(
+        f"('{a}', '{b}', {k}, {float(s)}::DOUBLE)" for a, b, k, s in sim_rows)
+
+    sk_rows = []
+    for clip in (1, 2, 3):
+        for j, lst in enumerate(g[f"sig_clip{clip}_k5"]):
+            sk_rows += [(f"sequence_clip{clip}", 5, j, r, signed(v))
+                        for r, v in enumerate(lst)]
+    for clip in (1, 2):
+        for j, lst in enumerate(g[f"sig_clip{clip}_k31"]):
+            sk_rows += [(f"sequence_clip{clip}", 31, j, r, signed(v))
+                        for r, v in enumerate(lst)]
+    sk_values = ", ".join(
+        f"('{d}', {k}, {h}, {r}, {v}::BIGINT)" for d, k, h, r, v in sk_rows)
+
+    return {
+        "dna_similarity": f"""
+            SELECT * FROM (VALUES {sim_values})
+            AS t(doc_a, doc_b, k, similarity)
+        """,
+        "dna_sketches": f"""
+            SELECT * FROM (VALUES {sk_values})
+            AS t(doc_id, k, hash_idx, rank, value)
+        """,
+    }
 
 
 def _q_tpch_q1(spark, sf_dir):
@@ -257,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shingle_counts": _q_doc_shingle_counts,
         "minhash_candidates": _q_minhash_candidates,
         "near_dup_pairs": _q_near_dup_pairs,
+        "near_dup_pairs_m4": _q_near_dup_pairs_m4,
         "near_dup_clusters": _q_near_dup_clusters,
         # training-data dedup family
         "exact_dedup": _q_exact_dedup,
@@ -278,6 +460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dups": _q_substring_dups,
         "exact_dedup_corpus": _q_exact_dedup_corpus,
         "near_dedup_corpus": _q_near_dedup_corpus,
+        # reference DNA parity (goldens from the ref-compiled binary)
+        "dna_similarity": _q_dna_similarity,
+        "dna_sketches": _q_dna_sketches,
         # relational coverage (scan/filter/agg/join/window — §2.2)
         "tpch_q1": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -327,6 +512,77 @@ def _winnow_oracle(k: int = 8, w: int = 16) -> str:
     """
 
 
+_NEAR_DUP_CTE = """
+        sh AS (
+          -- byte-level 9-gram shingles via hex pairs (2 hex chars per byte):
+          -- exactly the byte windows core/shingles.py hashes
+          SELECT doc_id, unnest(list_distinct(
+                   [substr(hex(encode(text)), 2*i-1, 18)
+                    FOR i IN range(1, octet_length(encode(text)) - 7)])) AS g
+          FROM documents WHERE octet_length(encode(text)) >= 9
+        ),
+        gids AS (SELECT g, row_number() OVER (ORDER BY g) AS gid
+                 FROM (SELECT DISTINCT g FROM sh)),
+        shi AS (SELECT doc_id, gid FROM sh JOIN gids USING (g)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shi GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM shi a JOIN shi b ON a.gid = b.gid AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        dup_pairs AS (
+          SELECT id_a, id_b,
+                 n_inter::double / (sa.n + sb.n - n_inter) AS jacc
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE n_inter::double / (sa.n + sb.n - n_inter) >= 0.7
+        )
+"""
+
+_NEAR_DUP_PAIRS_ORACLE = f"""
+        WITH {_NEAR_DUP_CTE}
+        SELECT printf('doc-%08d', id_a) AS url_a,
+               printf('doc-%08d', id_b) AS url_b,
+               round(jacc, 6) AS jaccard
+        FROM dup_pairs
+"""
+
+_NEAR_DUP_CLUSTERS_ORACLE = f"""
+        WITH RECURSIVE {_NEAR_DUP_CTE},
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM dup_pairs
+          UNION SELECT id_b, id_a FROM dup_pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT printf('doc-%08d', u) AS url,
+               printf('doc-%08d', least(u, min(v))) AS cluster_id
+        FROM reach GROUP BY u
+"""
+
+_NEAR_DEDUP_CORPUS_ORACLE = f"""
+        WITH RECURSIVE {_NEAR_DUP_CTE},
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM dup_pairs
+          UNION SELECT id_b, id_a FROM dup_pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        losers AS (
+          SELECT u FROM reach GROUP BY u HAVING least(u, min(v)) <> u
+        )
+        SELECT printf('doc-%08d', doc_id) AS url
+        FROM documents WHERE doc_id NOT IN (SELECT u FROM losers)
+"""
+
+
 def _simhash_oracle(max_hamming: int = 3, bits: int = 60) -> str:
     """DuckDB replica of operators/dedup.py::simhash + brute-force Hamming
     pairs (the Spark side blocks with a 4x15-bit pigeonhole — exact at
@@ -358,6 +614,29 @@ def oracle_sql() -> dict[str, str]:
     return {
         "winnow_fingerprint": _winnow_oracle(k=8, w=16),
         "simhash_pairs": _simhash_oracle(max_hamming=3),
+        "near_dup_pairs": _NEAR_DUP_PAIRS_ORACLE,
+        "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE,
+        "near_dedup_corpus": _NEAR_DEDUP_CORPUS_ORACLE,
+        # PPM payload = 11-byte header + first 192 utf-8 text bytes,
+        # zero-padded by the decoder; hist bins are byte-value // 4
+        "multimodal_features": """
+            WITH px AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     least(octet_length(encode(text)), 192) AS npix
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, npix, ('0x' || substr(hx, 2*i-1, 2))::INT // 4 AS bin
+              FROM px, unnest(range(1, npix + 1)) AS t(i)
+            )
+            SELECT doc_id AS media_id, 'image' AS kind,
+                   (11 + npix)::BIGINT AS n_bytes,
+                   (sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) + (192 - npix))::INT AS h0,
+                   sum(CASE WHEN bin = 24 THEN 1 ELSE 0 END)::INT AS h24
+            FROM b GROUP BY doc_id, npix
+        """,
+        "corpus_sketch": _corpus_sketch_oracle(k=9, m=4, t=16, seed=42),
+        **_dna_oracles(),
         "doc_shingle_counts": """
             SELECT doc_id,
                    len(list_distinct([substring(text, i, 9)

@@ -24,6 +24,7 @@ HEADLINE = [
     "doc_shingle_counts",
     "minhash_candidates",
     "near_dup_pairs",
+    "near_dup_pairs_m4",
     "near_dup_clusters",
     # dedup + text analysis
     "exact_dedup",
@@ -41,6 +42,8 @@ HEADLINE = [
     "embedding_topk",
     "embedding_topk_lsh",
     "embedding_near_dup",
+    # reference parity surface (clip FASTAs — constant size, not sf-scaled)
+    "dna_similarity",
     # relational
     "tpch_q1",
     "revenue_by_nation",

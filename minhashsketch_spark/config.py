@@ -38,7 +38,9 @@ class PipelineConfig:
     arrow_batch_rows: int = 1024
 
     def __post_init__(self):
-        if self.m == 1 and self.bands * self.rows != self.t:
+        # bands partition the t hash functions for any m (each band covers
+        # rows functions x m sketch values)
+        if self.bands * self.rows != self.t:
             raise ValueError(f"bands*rows ({self.bands}*{self.rows}) must equal t ({self.t})")
         if self.k < 1 or self.m < 1 or self.t < 1:
             raise ValueError("k, m, t must be >= 1 (src/main.cu:190-206)")

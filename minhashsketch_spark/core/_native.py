@@ -40,12 +40,23 @@ _lib = None
 _tried = False
 
 
+def _cache_dir() -> str:
+    """Genuinely per-user cache dir: tempfile.gettempdir() is shared on
+    multi-user hosts, so suffix with the uid and create mode 0700 — another
+    user cannot pre-plant a malicious .so at a predictable path."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    if not os.path.isdir(os.path.dirname(base) or "/"):
+        base = tempfile.gettempdir()
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(base,
+                        f"mhs_native_u{uid}_{hashlib.sha1(_C_SRC.encode()).hexdigest()[:12]}")
+
+
 def _build() -> "ctypes.CDLL | None":
-    cache = os.path.join(tempfile.gettempdir(),
-                         f"mhs_native_{hashlib.sha1(_C_SRC.encode()).hexdigest()[:12]}")
+    cache = _cache_dir()
     so = os.path.join(cache, "libminhash.so")
     if not os.path.exists(so):
-        os.makedirs(cache, exist_ok=True)
+        os.makedirs(cache, mode=0o700, exist_ok=True)
         src = os.path.join(cache, f"minhash_{os.getpid()}.c")
         tmp_so = os.path.join(cache, f"lib_{os.getpid()}.so")
         with open(src, "w") as f:
@@ -61,6 +72,10 @@ def _build() -> "ctypes.CDLL | None":
         else:
             return None
     try:
+        # refuse a library some other principal wrote into our cache path
+        st = os.stat(so)
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            return None
         lib = ctypes.CDLL(so)
         lib.minhash_axb.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_long,

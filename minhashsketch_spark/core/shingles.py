@@ -26,14 +26,17 @@ _POLY_M = np.uint64(0x9E3779B97F4A7C15)
 UINT64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def shingle_hashes(text: bytes, k: int) -> np.ndarray:
+def shingle_hashes(text: bytes | np.ndarray, k: int) -> np.ndarray:
     """uint64 base hash of every k-byte shingle (n-k+1 values).
 
     Polynomial rolling hash mod 2**64: sh[i] = sum_j b[i+j] * M**(k-1-j).
     Plays the role the packed k-mer word plays in the reference (O4): a
     near-injective uint64 id per shingle that the (a*x+b) family permutes.
+
+    Accepts raw bytes or a uint8 ndarray view (e.g. a zero-copy slice of an
+    Arrow string buffer — no per-row Python allocation).
     """
-    b = np.frombuffer(text, dtype=np.uint8)
+    b = text if isinstance(text, np.ndarray) else np.frombuffer(text, dtype=np.uint8)
     n = b.shape[0]
     if n < k:
         return np.empty(0, dtype=np.uint64)
@@ -45,7 +48,7 @@ def shingle_hashes(text: bytes, k: int) -> np.ndarray:
     return out
 
 
-def distinct_shingles(text: bytes, k: int) -> np.ndarray:
+def distinct_shingles(text: bytes | np.ndarray, k: int) -> np.ndarray:
     """Sorted distinct shingle hash set of one document."""
     return np.unique(shingle_hashes(text, k))
 

@@ -124,13 +124,22 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
     ).localCheckpoint()
 
     prev_fp = None
+    converged = False
     for _ in range(max_iterations):
         edges = _large_star(edges).localCheckpoint()
         edges = _small_star(edges).localCheckpoint()
         fp = _fingerprint(edges)
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    if not converged:
+        # a non-converged edge set silently yields split/wrong cluster ids
+        # downstream (near_dedup_corpus keepers) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "large-star/small-star rounds (expected O(log n)); raise "
+            "max_iterations (PipelineConfig.max_cc_iterations)")
 
     # after convergence every node points directly at its component min (in
     # id space — an arbitrary but deterministic representative)

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-from ..core.shingles import bottom_m_matrix, distinct_shingles, get_family
+from ..core.shingles import bottom_m_matrix, get_family, shingle_hashes
 from ..core.sketch import UINT64_MAX, r_merge
 
 
@@ -35,17 +35,22 @@ def corpus_sketch(docs: DataFrame, cfg: PipelineConfig,
     a_par, b_par = get_family(t, cfg.seed)
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bottom-m(union of sets) == fold of per-doc bottom-m's (merge
+        # associativity, O12/O13) — so hash the whole batch's shingles into
+        # one union set and sketch it once: no per-doc t-loop in Python
         acc = np.full((t, m), UINT64_MAX, dtype=np.uint64)
         saw = False
         for pdf in batches:
-            for text in pdf[text_col].values:
-                xs = distinct_shingles((text or "").encode("utf-8", "surrogatepass"), k)
-                if xs.shape[0] == 0:
-                    continue
-                saw = True
-                sk = bottom_m_matrix(xs, a_par, b_par, m)
-                for j in range(t):
-                    acc[j] = r_merge(m, sk[j], acc[j])
+            hs = [shingle_hashes((text or "").encode("utf-8", "surrogatepass"), k)
+                  for text in pdf[text_col].values]
+            hs = [h for h in hs if h.shape[0]]
+            if not hs:
+                continue
+            saw = True
+            xs = np.unique(np.concatenate(hs))
+            sk = bottom_m_matrix(xs, a_par, b_par, m)
+            for j in range(t):
+                acc[j] = r_merge(m, sk[j], acc[j])
         if saw:
             yield pd.DataFrame({"partial": [acc.reshape(-1).view(np.int64)]})
 

@@ -1,14 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode step is STUBBED (no image/audio libs in this container — each
-decode function raises ``NotImplementedError`` unless ``fake=True``
-produces a deterministic fake); the Spark-side plumbing — schema,
-partitioning, Arrow batch shape, UDF signatures — is real and tested.
+The decode step is REAL for two container formats a pure-NumPy decoder can
+handle — binary PPM (P6) and uncompressed 24-bit BMP — so the pipeline runs
+``fake=False`` end-to-end on real image bytes. Formats that need codec
+libraries (JPEG/PNG/audio/video — not in this container) raise
+``NotImplementedError`` unless ``fake=True`` substitutes a deterministic
+byte-histogram stand-in. The Spark-side plumbing — schema, partitioning,
+Arrow batch shape, UDF signatures — is identical either way.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -22,59 +26,110 @@ MEDIA_SCHEMA = (
     "width int, height int, duration_ms int"
 )
 
-FEATURE_SCHEMA = "media_id bigint, kind string, n_bytes bigint, feature array<float>"
+FEATURE_SCHEMA = ("media_id bigint, kind string, n_bytes bigint, "
+                  "feature array<float>, hist array<int>")
+
+# PPM images synthesized from document text bytes (media_from_documents)
+PPM_W = PPM_H = 8
+PPM_HEADER = b"P6\n%d %d\n255\n" % (PPM_W, PPM_H)
+_PPM_RE = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8 pixels. Truncated payloads are
+    zero-padded (crawl data is ragged; the operator must not throw)."""
+    m = _PPM_RE.match(buf)
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    raw = np.frombuffer(buf, dtype=np.uint8, offset=m.end())
+    out = np.zeros(w * h * 3, dtype=np.uint8)
+    take = min(raw.shape[0], out.shape[0])
+    out[:take] = raw[:take]
+    return out.reshape(h, w, 3)
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB pixels (rows are
+    stored bottom-up, 4-byte aligned; stored channel order is BGR)."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int(np.frombuffer(buf, np.uint32, 1, 10)[0])
+    w = int(np.frombuffer(buf, np.int32, 1, 18)[0])
+    h = int(np.frombuffer(buf, np.int32, 1, 22)[0])
+    bpp = int(np.frombuffer(buf, np.uint16, 1, 28)[0])
+    comp = int(np.frombuffer(buf, np.uint32, 1, 30)[0])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(buf, np.uint8, stride * abs(h), off).reshape(abs(h), stride)
+    bgr = rows[:, :w * 3].reshape(abs(h), w, 3)
+    if h > 0:  # bottom-up
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
 
 
 def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
+    """payload bytes -> uint8 array whose value histogram is the feature
+    source: decoded pixels for supported containers, raw bytes for fake."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "pass fake=True for the deterministic stub")
-    # deterministic fake: byte histogram as an 8x8 'image'
-    h = np.bincount(np.frombuffer(payload, dtype=np.uint8) >> 2, minlength=64)
-    return h.reshape(8, 8).astype(np.float32)
+            "only PPM(P6)/BMP decode in this container (no PIL/opencv); "
+            "pass fake=True for the deterministic byte-histogram stand-in")
+    return np.frombuffer(payload, dtype=np.uint8)
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
-    """binary payload -> fixed-width float feature vector, one
-    ``mapInPandas`` pass (Arrow-batched, no per-row Python pickling).
+def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """binary payload -> 64-bin value histogram (``hist``, exact ints) and
+    its L2-normalized float ``feature`` vector, one ``mapInPandas`` pass
+    (Arrow-batched, no per-row Python pickling beyond the decode itself).
 
-    With a real decoder the inner loop would call PIL/ffmpeg per element —
-    the partitioning/batching story is identical.
+    With a codec-library decoder the inner loop would call PIL/ffmpeg per
+    element — the partitioning/batching story is identical.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            nbytes = []
+            feats, hists, nbytes = [], [], []
             for payload in pdf["payload"].values:
                 buf = bytes(payload or b"")
                 nbytes.append(len(buf))
-                img = _decode_image(buf, fake)
-                # 'feature': normalized flattened decode output
-                v = img.reshape(-1)
-                norm = float(np.linalg.norm(v)) or 1.0
-                feats.append((v / norm).astype(np.float32))
+                px = _decode_image(buf, fake)
+                h = np.bincount(px.reshape(-1) >> 2, minlength=64).astype(np.int64)
+                hists.append(h.astype(np.int32))
+                norm = float(np.linalg.norm(h)) or 1.0
+                feats.append((h / norm).astype(np.float32))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].values,
                 "kind": pdf["kind"].values,
                 "n_bytes": np.array(nbytes, dtype=np.int64),
                 "feature": feats,
+                "hist": hists,
             })
 
     return media.select("media_id", "kind", "payload").mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Build a media table from the documents table's html bytes (or text)
-    — exercises the binary-column path end to end on real testdata."""
-    payload = F.encode(F.col("text"), "utf-8")
+    """Build a media table from the documents table: each doc's first
+    w*h*3 utf-8 bytes become the pixel plane of a real binary PPM —
+    exercising container parse + decode end to end on real testdata.
+    Payload assembly is JVM-side (concat/substring on BINARY)."""
+    n_px = PPM_W * PPM_H * 3
+    payload = F.concat(F.lit(PPM_HEADER),
+                       F.substring(F.encode(F.col("text"), "utf-8"), 1, n_px))
     return docs.select(
         F.col(id_col).alias("media_id"),
         F.lit("image").alias("kind"),
         payload.alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.lit(8).alias("width"),
-        F.lit(8).alias("height"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.lit(PPM_W).alias("width"),
+        F.lit(PPM_H).alias("height"),
         F.lit(0).alias("duration_ms"),
     )

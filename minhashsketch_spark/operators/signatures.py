@@ -52,6 +52,9 @@ def compute_signatures(docs: DataFrame, cfg: PipelineConfig,
     """
     import pyarrow as pa
 
+    if cfg.m != 1:
+        raise ValueError("compute_signatures is the m==1 fast path; "
+                         "use compute_signatures_m for general m")
     k, t, bands, rows = cfg.k, cfg.t, cfg.bands, cfg.rows
     a_par, b_par = get_family(t, cfg.seed)
 
@@ -62,11 +65,25 @@ def compute_signatures(docs: DataFrame, cfg: PipelineConfig,
             n = batch.num_rows
             sigs = np.empty((n, t), dtype=np.uint64)
             counts = np.empty(n, dtype=np.int64)
-            # zero-copy byte views over the Arrow string buffers
+            # zero-copy byte views over the Arrow string buffers: slice the
+            # (offsets, data) buffers directly — no per-row Python str/bytes
+            # object is ever materialized (texts are already UTF-8 in Arrow)
             tarr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+            bufs = tarr.buffers()
+            odt = np.int64 if pa.types.is_large_string(tarr.type) else np.int32
+            offs = np.frombuffer(bufs[1], dtype=odt)[
+                tarr.offset:tarr.offset + n + 1] if n else np.zeros(1, odt)
+            data = (np.frombuffer(bufs[2], dtype=np.uint8)
+                    if len(bufs) > 2 and bufs[2] is not None else np.empty(0, np.uint8))
+            if tarr.null_count:
+                valid = ~np.asarray(tarr.is_null())
+            else:
+                valid = None
             for i in range(n):
-                s = tarr[i].as_py()
-                xs = distinct_shingles((s or "").encode("utf-8", "surrogatepass"), k)
+                if valid is not None and not valid[i]:
+                    xs = distinct_shingles(b"", k)
+                else:
+                    xs = distinct_shingles(data[offs[i]:offs[i + 1]], k)
                 counts[i] = xs.shape[0]
                 sigs[i] = minhash_matrix(xs, a_par, b_par)
             if n:
@@ -89,4 +106,50 @@ def compute_signatures(docs: DataFrame, cfg: PipelineConfig,
     return (
         docs.select(F.col(url_col).alias("url"), F.col(text_col).alias(text_col))
         .mapInArrow(gen, schema=SIG_SCHEMA)
+    )
+
+
+def compute_signatures_m(docs: DataFrame, cfg: PipelineConfig,
+                         url_col: str = "url", text_col: str = "text") -> DataFrame:
+    """General m >= 1 signature stage: ``sig`` is the flattened t*m
+    bottom-m-distinct sketch (reference ``src/MinhashSketch.cu:108-125``
+    semantics: per function the m smallest distinct values, ascending,
+    UINT64_MAX-padded). LSH bands cover ``rows`` functions x m values each —
+    a band matches only when every bottom-m list in it is identical, the
+    natural generalization of the m=1 row-equality band.
+
+    The published reference run is m=9/t=5 (git_picture/running_example1.png);
+    this is the distributed path for that shape.
+    """
+    from ..core.shingles import bottom_m_matrix
+
+    k, t, m, bands, rows = cfg.k, cfg.t, cfg.m, cfg.bands, cfg.rows
+    a_par, b_par = get_family(t, cfg.seed)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            sigs = np.empty((n, t * m), dtype=np.uint64)
+            counts = np.empty(n, dtype=np.int64)
+            for i, text in enumerate(pdf[text_col].values):
+                xs = distinct_shingles((text or "").encode("utf-8", "surrogatepass"), k)
+                counts[i] = xs.shape[0]
+                sigs[i] = bottom_m_matrix(xs, a_par, b_par, m).reshape(-1)
+            if n:
+                bk = band_keys_batch(sigs, bands, rows * m)
+                sk = band_keys_batch(sigs, 1, t * m)[:, 0]
+            else:
+                bk = np.empty((0, bands), np.int64)
+                sk = np.empty(0, np.int64)
+            yield pd.DataFrame({
+                "url": pdf[url_col].values,
+                "n_shingles": counts,
+                "sig": list(sigs.view(np.int64)),
+                "bands": list(bk),
+                "sig_key": sk,
+            })
+
+    return (
+        docs.select(F.col(url_col).alias("url"), F.col(text_col).alias(text_col))
+        .mapInPandas(gen, schema=SIG_SCHEMA)
     )

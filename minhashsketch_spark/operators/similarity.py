@@ -110,20 +110,80 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
-                             n_planes: int = 12, seed: int = 7, dim: int = 64,
+def hyperplane_bands(embeddings: DataFrame, n_tables: int = 16, n_planes: int = 4,
+                     seed: int = 7, dim: int = 64, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(id, table, bucket) — multi-table sign sketch: ``n_tables``
+    independent tables of ``n_planes`` hyperplanes each (the cosine
+    analogue of MinHash LSH bands: more tables -> higher recall, more
+    planes per table -> higher precision). One vectorized NumPy pass."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim)).astype(np.float64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.stack(pdf[vec_col].values).astype(np.float64)
+            bits = (vecs @ planes.T > 0).astype(np.int64)  # (n, T*r)
+            buckets = (bits.reshape(n, n_tables, n_planes) * weights).sum(axis=2)
+            ids = np.repeat(pdf[id_col].values.astype(np.int64), n_tables)
+            tables = np.tile(np.arange(n_tables, dtype=np.int64), n)
+            yield pd.DataFrame({"vec_id": ids, "tbl": tables,
+                                "bucket": buckets.reshape(-1)})
+
+    return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, schema="vec_id bigint, tbl bigint, bucket bigint")
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                             n_tables: int = 16, n_planes: int = 4,
+                             seed: int = 7, dim: int = 64, bucket_cap: int = 512,
                              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via bucket self-join."""
-    b = hyperplane_signs(embeddings, n_planes, seed, dim, id_col, vec_col)
-    c = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    keyed = b.join(c, id_col).persist()  # both sides of the self-join
-    a = keyed.select(F.col(id_col).alias("id_a"), F.col("bucket"), F.col("v").alias("va"))
-    bb = keyed.select(F.col(id_col).alias("id_b"), F.col("bucket"), F.col("v").alias("vb"))
-    return (
-        a.join(bb, "bucket")
+    """Embedding-cosine near-duplicate pairs via multi-table hyperplane LSH.
+
+    Scale design (mirrors operators/lsh.py): self-join per (table, bucket);
+    hot buckets are *salted* into ceil(size/cap) sub-buckets (nothing
+    dropped) with a (vec_id)-ordered chain of extra candidates so identical
+    embeddings stay connected across sub-buckets; exact cosine filters.
+    A single-table 12-plane join has ~0.16 recall at cosine 0.9 — multiple
+    independent tables are what make recall approach 1 (1-(1-p^r)^T)."""
+    b = hyperplane_bands(embeddings, n_tables, n_planes, seed, dim, id_col, vec_col)
+    w = Window.partitionBy("tbl", "bucket")
+    sized = b.withColumn("bucket_size", F.count("*").over(w)) \
+             .filter(F.col("bucket_size") >= 2)
+    salted = (
+        sized.withColumn("n_salt",
+                         F.ceil(F.col("bucket_size") / F.lit(bucket_cap)).cast("int"))
+        .withColumn("salt",
+                    F.when(F.col("n_salt") <= 1, F.lit(0))
+                    .otherwise(F.pmod(F.xxhash64("vec_id"), F.col("n_salt")).cast("int")))
+    ).persist()
+    a = salted.select(F.col("vec_id").alias("id_a"), "tbl", "bucket", "salt")
+    bb = salted.select(F.col("vec_id").alias("id_b"), "tbl", "bucket", "salt")
+    within = (
+        a.join(bb, ["tbl", "bucket", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    wchain = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
+    chains = (
+        salted.filter(F.col("n_salt") > 1)
+        .withColumn("prev", F.lag("vec_id").over(wchain))
+        .filter(F.col("prev").isNotNull())
+        .select(F.least("prev", "vec_id").alias("id_a"),
+                F.greatest("prev", "vec_id").alias("id_b"))
+    )
+    cand = within.union(chains).dropDuplicates(["id_a", "id_b"])
+    c = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    va = c.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = c.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    raw = _cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .filter(raw >= threshold)
+        .withColumn("cosine", F.round(raw, 6))
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )

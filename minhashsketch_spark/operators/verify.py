@@ -31,10 +31,17 @@ from ..core.shingles import distinct_shingles
 
 
 def minhash_estimate(pairs: DataFrame, signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """(url_a, url_b) + signatures -> + est_sim (reference estimator)."""
+    """(url_a, url_b) + signatures -> + est_sim (reference estimator).
+
+    m == 1 only: positional zip_with equality IS the two-pointer match
+    count when each list has one element. For m > 1 use
+    ``minhash_estimate_m`` (positional equality would undercount — see
+    src/Hash.cu:65-78, the pointers advance independently)."""
+    if cfg.m != 1:
+        raise ValueError("minhash_estimate is the m==1 fast path; "
+                         "use minhash_estimate_m for m > 1")
     sig_a = signatures.select(F.col("url").alias("url_a"), F.col("sig").alias("sig_a"))
     sig_b = signatures.select(F.col("url").alias("url_b"), F.col("sig").alias("sig_b"))
-    tm = cfg.t * cfg.m
     return (
         pairs.join(sig_a, "url_a").join(sig_b, "url_b")
         .withColumn(
@@ -45,9 +52,42 @@ def minhash_estimate(pairs: DataFrame, signatures: DataFrame, cfg: PipelineConfi
                 lambda acc, v: acc + v,
             ),
         )
-        .withColumn("est_sim", F.col("matches") / F.lit(float(tm)))
+        # divide by the actual signature length, not cfg.t*cfg.m — immune to
+        # a config/signature mismatch (they are asserted equal for m==1)
+        .withColumn("est_sim", F.col("matches") / F.size("sig_a"))
         .drop("sig_a", "sig_b")
     )
+
+
+def minhash_estimate_m(pairs: DataFrame, signatures: DataFrame,
+                       cfg: PipelineConfig) -> DataFrame:
+    """General-m reference estimator over candidate pairs: per function a
+    two-pointer intersection of the two sorted bottom-m lists
+    (``src/Hash.cu:65-86``, quirks Q2/Q6 preserved via core.compute_sim),
+    summed over t, / (t*m). Pandas UDF over the (tiny) candidate pair set —
+    candidates are <<1% of the corpus at scale, so Python here is off the
+    hot path."""
+    from ..core.sketch import compute_sim
+
+    t, m = cfg.t, cfg.m
+    sig_a = signatures.select(F.col("url").alias("url_a"), F.col("sig").alias("sig_a"))
+    sig_b = signatures.select(F.col("url").alias("url_b"), F.col("sig").alias("sig_b"))
+    joined = pairs.join(sig_a, "url_a").join(sig_b, "url_b")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            est = [
+                compute_sim(
+                    np.asarray(sa, dtype=np.int64).view(np.uint64).reshape(t, m),
+                    np.asarray(sb, dtype=np.int64).view(np.uint64).reshape(t, m))
+                for sa, sb in zip(pdf["sig_a"].values, pdf["sig_b"].values)
+            ]
+            yield pd.DataFrame({"url_a": pdf["url_a"].values,
+                                "url_b": pdf["url_b"].values,
+                                "est_sim": np.asarray(est, dtype=np.float64)})
+
+    return joined.select("url_a", "url_b", "sig_a", "sig_b").mapInPandas(
+        gen, schema="url_a string, url_b string, est_sim double")
 
 
 def shingle_sets_for(docs: DataFrame, urls: DataFrame, cfg: PipelineConfig,

@@ -4,15 +4,19 @@ The reference is batch-only (SURVEY.md §2.2), but a production crawl is
 append-only: new WARC drops land continuously. This operator keeps the
 ``signatures`` stage incrementally up to date — ``readStream`` over the
 documents table, the same vectorized signature UDF per micro-batch, and
-``foreachBatch`` appending to the signatures table (exactly-once via the
-streaming checkpoint + idempotent per-batch overwrite partition). Candidate
-generation/CC then run as periodic batch jobs over the growing table — the
-standard lambda layout for dedup at crawl scale.
+``foreachBatch`` writing each batch into its own ``batch_id=`` partition
+with *dynamic partition overwrite*. foreachBatch is at-least-once: a crash
+after the write but before the checkpoint commit replays the batch on
+restart — the replay overwrites exactly its own partition, so the table
+stays exactly-once. Candidate generation/CC then run as periodic batch
+jobs over the growing table — the standard lambda layout for dedup at
+crawl scale.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import PipelineConfig
@@ -25,6 +29,17 @@ DOCS_SCHEMA = T.StructType([
     T.StructField("text", T.StringType()),
     T.StructField("lang", T.StringType()),
 ])
+
+
+def write_signature_batch(sigs: DataFrame, batch_id: int, output_path: str) -> None:
+    """Idempotent micro-batch sink: dynamic overwrite of the batch's own
+    ``batch_id=`` partition — replaying the same batch (at-least-once
+    foreachBatch) rewrites identical data instead of appending duplicates."""
+    (sigs.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(output_path))
 
 
 def incremental_signatures(spark: SparkSession, input_path: str, output_path: str,
@@ -40,7 +55,7 @@ def incremental_signatures(spark: SparkSession, input_path: str, output_path: st
 
     def process_batch(batch_df, batch_id: int) -> None:
         sigs = compute_signatures(batch_df, cfg)
-        (sigs.write.mode("append").parquet(output_path))
+        write_signature_batch(sigs, batch_id, output_path)
 
     writer = (
         stream.writeStream

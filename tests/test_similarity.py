@@ -1,0 +1,91 @@
+"""Embedding similarity search: LSH near-dup recall vs brute force on a
+planted corpus, and salting/cap behavior on hot buckets."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from minhashsketch_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+
+DIM = 64
+
+
+def _planted_embeddings(spark, n_base=200, n_dups=60, noise=0.08, seed=11):
+    """Random unit-ish vectors plus planted near-dups (base + small noise:
+    cosine ~0.97). Returns (df, truth_pairs set at cosine >= 0.9)."""
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n_base, DIM))
+    dup_src = rng.randint(0, n_base, size=n_dups)
+    dups = base[dup_src] + noise * rng.standard_normal((n_dups, DIM))
+    vecs = np.vstack([base, dups])
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, schema="vec_id bigint, embedding array<double>")
+
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    iu = np.triu_indices(len(vecs), 1)
+    truth = {(int(a), int(b)) for a, b in zip(*iu) if sims[a, b] >= 0.9}
+    assert len(truth) >= n_dups  # the plant worked
+    return df, truth
+
+
+def test_embedding_near_dup_recall_vs_brute_force(spark):
+    df, truth = _planted_embeddings(spark)
+    found = embedding_near_dup_pairs(df, threshold=0.9, n_tables=16,
+                                     n_planes=4, dim=DIM)
+    got = {(r["id_a"], r["id_b"]) for r in found.collect()}
+    # no false positives possible (exact cosine filter) ...
+    assert got <= truth
+    # ... and multi-table LSH recall is high
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"recall {recall} over {len(truth)} truth pairs"
+
+
+def test_embedding_near_dup_hot_bucket_cap_keeps_identical_vectors(spark):
+    """A pile of identical vectors forms one mega-bucket in every table;
+    salting must keep every identical pair reachable (chain links)."""
+    rng = np.random.RandomState(3)
+    v = rng.standard_normal(DIM)
+    rows = [(i, [float(x) for x in v]) for i in range(40)]
+    rows += [(100 + i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(20)]
+    df = spark.createDataFrame(rows, schema="vec_id bigint, embedding array<double>")
+    found = embedding_near_dup_pairs(df, threshold=0.999, n_tables=8,
+                                     n_planes=4, dim=DIM, bucket_cap=8)
+    got = {(r["id_a"], r["id_b"]) for r in found.collect()}
+    # chain links guarantee the identical group stays *connected* (union-find
+    # recovers the full cluster), even though salting splits the mega-bucket
+    ids = sorted({i for p in got for i in p if i < 100})
+    assert ids == list(range(40))
+    parent = {i: i for i in range(40)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got:
+        if a < 100 and b < 100:
+            parent[find(a)] = find(b)
+    assert len({find(i) for i in range(40)}) == 1
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, _ = _planted_embeddings(spark, n_base=50, n_dups=10)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = cosine_topk(df, queries, k=5).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    for qid in range(3):
+        q = vecs[qid]
+        scored = sorted(
+            ((round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 6), -i)
+             for i, v in vecs.items() if i != qid),
+            reverse=True)[:5]
+        expect = [(-i, c) for c, i in scored]
+        rows = sorted((r for r in got if r["query_id"] == qid), key=lambda r: r["rank"])
+        assert [(r["neighbor_id"], r["cosine"]) for r in rows] == expect

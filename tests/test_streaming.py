@@ -34,6 +34,25 @@ def test_incremental_signatures_match_batch(spark, tmp_path):
     assert n == len(want)
 
 
+def test_replayed_batch_does_not_duplicate(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate a crash-replay by writing the
+    same micro-batch twice — the batch_id-partition dynamic overwrite must
+    leave exactly one copy."""
+    from minhashsketch_spark.streaming.ingest import write_signature_batch
+
+    docs_df, _ = corpus_dataframe(spark, n_docs=30, seed=5)
+    n_docs = docs_df.count()
+    out = str(tmp_path / "sigs")
+    sigs = compute_signatures(docs_df, CFG)
+    write_signature_batch(sigs, 0, out)
+    n1 = spark.read.parquet(out).count()
+    write_signature_batch(sigs, 0, out)  # replay after simulated crash
+    assert spark.read.parquet(out).count() == n1 == n_docs
+    # a *new* batch still appends (its own partition)
+    write_signature_batch(sigs.limit(5), 1, out)
+    assert spark.read.parquet(out).count() == n_docs + 5
+
+
 def test_windowed_event_counts_match_batch(spark, tmp_path):
     from minhashsketch_spark.streaming.windows import (
         batch_windowed_event_counts,
