@@ -83,7 +83,11 @@ def _q_near_dup_pairs(spark, sf_dir):
 def _q_near_dup_clusters(spark, sf_dir):
     from minhashsketch_spark.operators.connected_components import connected_components
 
-    pairs = _near_dup_exact_pairs(spark, sf_dir).select("url_a", "url_b")
+    # CC consumes the edge list more than once (count + collect/joins):
+    # materialize the tiny pair set so the signature/LSH/verify pipeline
+    # upstream runs exactly once (run_pipeline gets this from StageStore
+    # parquet checkpoints; this standalone composition checkpoints in-memory)
+    pairs = _near_dup_exact_pairs(spark, sf_dir).select("url_a", "url_b").localCheckpoint()
     return connected_components(pairs, CFG.max_cc_iterations)
 
 
@@ -162,7 +166,7 @@ def _q_embedding_near_dup(spark, sf_dir):
     # ~0.51 at sf0.01) — threshold 0.4 keeps the check non-vacuous here;
     # recall vs brute force is pinned by pytest on a planted corpus
     return S.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4,
-                                      n_tables=24, n_planes=4)
+                                      n_tables=8, n_planes=5)
 
 
 def _q_substring_dups(spark, sf_dir):
@@ -204,7 +208,7 @@ def _q_near_dedup_corpus(spark, sf_dir):
     from minhashsketch_spark.operators.dedup_corpus import near_dedup_corpus
 
     docs = _docs_as_urls(spark, sf_dir)
-    pairs = _near_dup_exact_pairs(spark, sf_dir).select("url_a", "url_b")
+    pairs = _near_dup_exact_pairs(spark, sf_dir).select("url_a", "url_b").localCheckpoint()
     clusters = connected_components(pairs, CFG.max_cc_iterations)
     return near_dedup_corpus(docs, clusters).select("url")
 

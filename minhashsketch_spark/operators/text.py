@@ -127,6 +127,9 @@ def winnowing_fingerprint(docs: DataFrame, k: int = 8, w: int = 16,
                 fps.append(np.unique(win.min(axis=1)).view(np.int64))
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "fingerprint": fps})
 
+    from ..partitioning import ensure_parallelism
+
     id_type = dict(zip(docs.columns, [f.dataType.simpleString() for f in docs.schema.fields]))[id_col]
     schema = f"doc_id {id_type}, fingerprint array<bigint>"
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, schema=schema)
+    return ensure_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))).mapInPandas(gen, schema=schema)

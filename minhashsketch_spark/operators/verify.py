@@ -105,6 +105,9 @@ def shingle_sets_for(docs: DataFrame, urls: DataFrame, cfg: PipelineConfig,
                 outs.append(xs.view(np.int64))
             yield pd.DataFrame({"url": pdf[url_col].values, "shingles": outs})
 
+    # no ensure_parallelism here: `needed` sits downstream of the semi-join
+    # shuffle, so it already carries >= shuffle.partitions partitions (and
+    # probing .rdd on an AQE join plan can execute its stages eagerly)
     return needed.select(F.col(url_col), F.col(text_col)).mapInPandas(
         gen, schema="url string, shingles array<bigint>")
 
@@ -119,14 +122,15 @@ def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
     recall metric is defined against (BASELINE.md).
     """
     # both stages consume ``signatures``/``sets_df`` twice (a-side, b-side);
-    # persist so the UDFs run once. In the full pipeline these arrive as
-    # checkpointed tables and the persist is a cheap cache of the scan.
-    signatures = signatures.persist()
-    pairs = pairs.persist()
+    # EAGER localCheckpoint so the UDFs run exactly once — a lazy persist
+    # lets the two join sides race to compute the same partitions. In the
+    # full pipeline these arrive as parquet-checkpointed tables anyway.
+    signatures = signatures.localCheckpoint()
+    pairs = pairs.localCheckpoint()
     est = minhash_estimate(pairs, signatures, cfg)
     all_urls = (pairs.select(F.col("url_a").alias("url"))
                 .unionByName(pairs.select(F.col("url_b").alias("url"))).distinct())
-    sets_df = shingle_sets_for(docs, all_urls, cfg, url_col, text_col).persist()
+    sets_df = shingle_sets_for(docs, all_urls, cfg, url_col, text_col).localCheckpoint()
     sh_a = sets_df.select(F.col("url").alias("url_a"), F.col("shingles").alias("sh_a"))
     sh_b = sets_df.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
