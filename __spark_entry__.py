@@ -423,6 +423,19 @@ def _q_tpch_q3_like(spark, sf_dir):
     )
 
 
+def _q_orders_rollup(spark, sf_dir):
+    """Grouping-sets coverage (SURVEY §2.2): ROLLUP over priority x year
+    with subtotal + grand-total rows."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .rollup("o_orderpriority", "o_year")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("revenue_c"))
+        .select("o_orderpriority", "o_year", "n_orders", "revenue_c")
+    )
+
+
 def _q_parts_by_brand(spark, sf_dir):
     """agg + HAVING + avg over a dimension scan."""
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
@@ -474,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats": _q_event_type_stats,
         "tpch_q3_like": _q_tpch_q3_like,
         "parts_by_brand": _q_parts_by_brand,
+        "orders_rollup": _q_orders_rollup,
     }
 
 
@@ -805,5 +819,12 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(p_retailprice), 2) AS avg_price,
                    max(p_size) AS max_size
             FROM part GROUP BY p_brand HAVING count(*) >= 5 ORDER BY p_brand
+        """,
+        "orders_rollup": """
+            SELECT o_orderpriority, year(o_orderdate) AS o_year,
+                   count(*) AS n_orders,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, year(o_orderdate))
         """,
     }

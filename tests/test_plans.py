@@ -1,0 +1,88 @@
+"""Physical-plan audits: the properties that matter at 100 TB must be
+visible in .explain — column pruning into the scan, predicate pushdown,
+broadcast of small dims, and no Python in JVM-expressible stages."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from minhashsketch_spark.config import PipelineConfig
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_signature_scan_prunes_to_url_text(spark):
+    """The documents scan under the signature UDF must read only
+    (url, text) — html/warc_ts/lang bytes never leave parquet."""
+    from minhashsketch_spark.operators.signatures import compute_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.format_string("doc-%08d", F.col("doc_id")).alias("url"), "text",
+        "lang", "source")
+    cfg = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=1, threshold=0.7)
+    plan = _plan(compute_signatures(docs, cfg))
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    assert "text" in scan[0]
+    assert "lang" not in scan[0] and "source" not in scan[0]
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet") \
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02")) \
+        .select("l_returnflag", "l_quantity")
+    plan = _plan(li)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_small_dim_join_broadcasts(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    j = (o.join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .groupBy("n_name").count())
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_minhash_estimate_is_jvm_side(spark):
+    """m=1 verification must stay in whole-stage codegen — no Python eval
+    (ArrowEvalPython/BatchEvalPython) anywhere in the pair-scoring plan."""
+    from minhashsketch_spark.operators.verify import minhash_estimate
+
+    cfg = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=1, threshold=0.7)
+    sigs = spark.createDataFrame(
+        [("a", [1, 2], ), ("b", [1, 3])], schema="url string, sig array<bigint>")
+    pairs = spark.createDataFrame([("a", "b")], schema="url_a string, url_b string")
+    plan = _plan(minhash_estimate(pairs, sigs, cfg))
+    assert "EvalPython" not in plan  # zip_with equality is a JVM expression
+
+
+def test_text_operators_are_jvm_side(spark):
+    from minhashsketch_spark.operators import text as TX
+    from minhashsketch_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (TX.token_stats(docs), TX.quality_score(docs),
+               TX.language_id(docs), TX.md5_fingerprint(docs), simhash(docs)):
+        assert "EvalPython" not in _plan(df)
+
+
+def test_lsh_candidates_no_cartesian(spark):
+    """The candidate join must be an equi-join on (band_key, salt) — never
+    a cartesian/broadcast-nested-loop pair scan."""
+    from minhashsketch_spark.operators.lsh import candidate_pairs
+    from minhashsketch_spark.operators.signatures import compute_signatures
+    from minhashsketch_spark.sources.corpus import corpus_dataframe
+
+    cfg = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=1, threshold=0.7)
+    docs, _ = corpus_dataframe(spark, n_docs=50, seed=2)
+    plan = _plan(candidate_pairs(compute_signatures(docs, cfg), cfg))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

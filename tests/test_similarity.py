@@ -74,6 +74,33 @@ def test_embedding_near_dup_hot_bucket_cap_keeps_identical_vectors(spark):
     assert len({find(i) for i in range(40)}) == 1
 
 
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """Multi-probe hyperplane LSH top-k must find the planted near-dup as
+    the top-1 neighbor for (almost) every duplicated query vector."""
+    from minhashsketch_spark.operators.similarity import lsh_cosine_topk
+
+    df, _ = _planted_embeddings(spark, n_base=150, n_dups=40, seed=13)
+    brute = cosine_topk(df, df.filter(F.col("vec_id") >= 150).select(
+        F.col("vec_id").alias("query_id"), "embedding"), k=1)
+    approx = lsh_cosine_topk(df, df.filter(F.col("vec_id") >= 150).select(
+        F.col("vec_id").alias("query_id"), "embedding"), k=1, dim=DIM)
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, f"top-1 recall {recall}"
+
+
+def test_ensure_parallelism_guard(spark):
+    from minhashsketch_spark.partitioning import ensure_parallelism
+
+    df = spark.range(100).coalesce(1)
+    up = ensure_parallelism(df, 8)
+    assert up.rdd.getNumPartitions() == 8
+    assert up.count() == 100
+    wide = spark.range(100).repartition(16)
+    assert ensure_parallelism(wide, 8) is wide  # identity: never shrinks
+
+
 def test_cosine_topk_matches_numpy(spark):
     df, _ = _planted_embeddings(spark, n_base=50, n_dups=10)
     queries = df.filter(F.col("vec_id") < 3).select(
