@@ -14,15 +14,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition up to the session's default parallelism iff the plan's
-    current partitioning is below it; identity otherwise (never shrinks —
-    coalescing is AQE's job).
+# logical-plan nodes that imply the input already made an explicit
+# partitioning/shuffle decision — the guard must not second-guess those,
+# and probing .rdd through them under AQE EXECUTES the shuffle stages
+# eagerly (measured: a 9 s shuffle for one getNumPartitions call)
+_HAS_OWN_PARTITIONING = ("Repartition", "Join", "Aggregate", "Window",
+                         "Sort", "InMemoryRelation", "Exchange")
 
-    Apply to SCAN-LEVEL projections only: probing ``.rdd`` is free on a
-    shuffle-free plan, but on an AQE plan with joins it can execute the
-    upstream query stages eagerly. Post-shuffle stages already carry >=
-    ``spark.sql.shuffle.partitions`` partitions and never need this."""
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to the session's default parallelism iff the plan is
+    a plain scan/projection whose partitioning is below it; identity
+    otherwise (never shrinks — coalescing is AQE's job; never probes
+    through shuffles — that executes them)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(k in plan for k in _HAS_OWN_PARTITIONING):
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -93,12 +93,18 @@ def test_lsh_topk_recall_vs_brute_force(spark):
 def test_ensure_parallelism_guard(spark):
     from minhashsketch_spark.partitioning import ensure_parallelism
 
-    df = spark.range(100).coalesce(1)
-    up = ensure_parallelism(df, 8)
+    # single-row-group parquet scan -> one partition -> guard widens it
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    assert docs.rdd.getNumPartitions() == 1
+    up = ensure_parallelism(docs, 8)
     assert up.rdd.getNumPartitions() == 8
-    assert up.count() == 100
+    assert up.count() == docs.count()
+    # identity on plans that made their own partitioning decision
     wide = spark.range(100).repartition(16)
-    assert ensure_parallelism(wide, 8) is wide  # identity: never shrinks
+    assert ensure_parallelism(wide, 8) is wide
+    cached = spark.range(100).cache()
+    assert ensure_parallelism(cached, 999) is cached
 
 
 def test_cosine_topk_matches_numpy(spark):
