@@ -161,6 +161,13 @@ def _q_embedding_topk_lsh(spark, sf_dir):
     return S.lsh_cosine_topk(emb, queries, k=10)
 
 
+def _q_embedding_topk_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return S.ivf_cosine_topk(emb, queries, k=10, n_centroids=16, nprobe=6)
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     # testdata embeddings are unplanted random vectors (pairwise cosine max
     # ~0.51 at sf0.01) — threshold 0.4 keeps the check non-vacuous here;
@@ -423,6 +430,22 @@ def _q_tpch_q3_like(spark, sf_dir):
     )
 
 
+def _q_audio_stats(spark, sf_dir):
+    """Audio path of the multimodal family: doc bytes as raw PCM16 clips ->
+    exact integer features (sample count, energy, zero crossings)."""
+    media = MM.audio_from_documents(_docs(spark, sf_dir))
+    return MM.audio_features(media)
+
+
+def _q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gaps) — lag + running-sum windows
+    then per-session aggregation, the canonical event-stream shape."""
+    from minhashsketch_spark.operators.sessions import user_sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return user_sessions(ev, gap_s=1800)
+
+
 def _q_orders_rollup(spark, sf_dir):
     """Grouping-sets coverage (SURVEY §2.2): ROLLUP over priority x year
     with subtotal + grand-total rows."""
@@ -470,9 +493,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
+        "embedding_topk_ivf": _q_embedding_topk_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         # multimodal plumbing
         "multimodal_features": _q_multimodal_features,
+        "audio_stats": _q_audio_stats,
         "corpus_sketch": _q_corpus_sketch,
         "substring_dups": _q_substring_dups,
         "exact_dedup_corpus": _q_exact_dedup_corpus,
@@ -488,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_like": _q_tpch_q3_like,
         "parts_by_brand": _q_parts_by_brand,
         "orders_rollup": _q_orders_rollup,
+        "user_sessions": _q_user_sessions,
     }
 
 
@@ -652,6 +678,35 @@ def oracle_sql() -> dict[str, str]:
                    (sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) + (192 - npix))::INT AS h0,
                    sum(CASE WHEN bin = 24 THEN 1 ELSE 0 END)::INT AS h24
             FROM b GROUP BY doc_id, npix
+        """,
+        # PCM16 samples via hex pairs: sample i = byte(2i-1) + 256*byte(2i),
+        # two's-complement signed; features are exact integers
+        "audio_stats": """
+            WITH px AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     octet_length(encode(text)) // 2 AS n
+              FROM documents
+            ),
+            sm AS (
+              SELECT doc_id, i,
+                     CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+              FROM (
+                SELECT doc_id, i,
+                       ('0x' || substr(hx, 4*i-3, 2))::INT
+                       + 256 * ('0x' || substr(hx, 4*i-1, 2))::INT AS raw
+                FROM px, unnest(range(1, n + 1)) AS t(i))
+            ),
+            lagged AS (
+              SELECT doc_id, v,
+                     lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM sm
+            )
+            SELECT doc_id AS media_id, 'audio' AS kind,
+                   count(*)::BIGINT AS n_samples,
+                   sum(v * v)::BIGINT AS energy,
+                   sum(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (v < 0)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_zero_crossings
+            FROM lagged GROUP BY doc_id
         """,
         "corpus_sketch": _corpus_sketch_oracle(k=9, m=4, t=16, seed=42),
         **_dna_oracles(),
@@ -826,5 +881,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, year(o_orderdate))
+        """,
+        "user_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, value,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            b AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN prev IS NULL
+                               OR floor(epoch(ts))::BIGINT - floor(epoch(prev))::BIGINT > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM o
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+              FROM b
+            )
+            SELECT user_id, session_seq,
+                   floor(epoch(min(ts)))::BIGINT AS start_s,
+                   floor(epoch(max(ts)))::BIGINT AS end_s,
+                   count(*) AS n_events,
+                   floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_s,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS value_c
+            FROM s GROUP BY user_id, session_seq
         """,
     }

@@ -41,7 +41,12 @@ HEADLINE = [
     # similarity search
     "embedding_topk",
     "embedding_topk_lsh",
+    "embedding_topk_ivf",
     "embedding_near_dup",
+    # multimodal + event analytics
+    "audio_stats",
+    "user_sessions",
+    "orders_rollup",
     # reference parity surface (clip FASTAs — constant size, not sf-scaled)
     "dna_similarity",
     # relational

@@ -119,6 +119,75 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
         media.select("media_id", "kind", "payload")).mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+def decode_pcm16(buf: bytes) -> np.ndarray:
+    """Raw little-endian 16-bit PCM -> int16 samples (trailing odd byte
+    dropped — ragged crawl payloads must not throw)."""
+    n = len(buf) // 2 * 2
+    return np.frombuffer(buf, dtype="<i2", count=n // 2)
+
+
+def resize_image(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, c) pixel array — pure NumPy
+    index gather, the batch shape a real resampler would use."""
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[ys[:, None], xs[None, :]]
+
+
+def sample_frames(buf: bytes, frame_bytes: int, every: int = 2) -> list[bytes]:
+    """Treat a payload as concatenated fixed-size frames and keep every
+    ``every``-th one (video keyframe sampling shape; a trailing partial
+    frame is dropped)."""
+    n_frames = len(buf) // frame_bytes
+    return [buf[i * frame_bytes:(i + 1) * frame_bytes]
+            for i in range(0, n_frames, every)]
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """PCM16 payloads -> exact integer features per clip: sample count,
+    energy (sum of squares) and zero-crossing count. Integers by design so
+    the DuckDB oracle compares hash-exactly (no float rounding)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, energy, zc = [], [], []
+            for payload in pdf["payload"].values:
+                v = decode_pcm16(bytes(payload or b"")).astype(np.int64)
+                ns.append(v.shape[0])
+                energy.append(int((v * v).sum()))
+                zc.append(int(((v[:-1] < 0) != (v[1:] < 0)).sum()) if v.shape[0] > 1 else 0)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "kind": pdf["kind"].values,
+                "n_samples": np.array(ns, dtype=np.int64),
+                "energy": np.array(energy, dtype=np.int64),
+                "n_zero_crossings": np.array(zc, dtype=np.int64),
+            })
+
+    from ..partitioning import ensure_parallelism
+
+    return ensure_parallelism(
+        media.select("media_id", "kind", "payload")).mapInPandas(
+        gen, schema=("media_id bigint, kind string, n_samples bigint, "
+                     "energy bigint, n_zero_crossings bigint"))
+
+
+def audio_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Interpret each doc's utf-8 bytes as a raw PCM16 clip — real decode
+    math over the binary column path, built JVM-side."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("audio").alias("kind"),
+        payload.alias("payload"),
+        F.lit("audio/L16").alias("mime"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        (F.floor(F.octet_length(payload) / 2 / 16)).cast("int").alias("duration_ms"),
+    )
+
+
 def media_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build a media table from the documents table: each doc's first
     w*h*3 utf-8 bytes become the pixel plane of a real binary PPM —

@@ -144,6 +144,83 @@ def hyperplane_bands(embeddings: DataFrame, n_tables: int = 16, n_planes: int = 
         gen, schema="vec_id bigint, tbl bigint, bucket bigint")
 
 
+def fit_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                      n_iters: int = 10, sample_n: int = 4096, seed: int = 7,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means coarse quantizer fitted on a deterministic sample
+    (standard IVF practice: the codebook is tiny and trained off a sample,
+    then broadcast; at 10^12 vectors the sample is still a driver-sized
+    collect)."""
+    rows = (embeddings.orderBy(id_col).limit(sample_n)
+            .select(vec_col).collect())
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    c = x[rng.choice(x.shape[0], size=n_centroids, replace=False)]
+    for _ in range(n_iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                v = x[m].sum(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def _ivf_cells(df: DataFrame, centroids: np.ndarray, nprobe: int,
+               id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """(id, cell) rows: the nprobe highest-dot-product centroids per vector
+    (nprobe=1 for the corpus side, >1 for multi-probe queries)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            v = np.stack(pdf[vec_col].values).astype(np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = v @ centroids.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            ids = np.repeat(pdf[id_col].values.astype(np.int64), nprobe)
+            yield pd.DataFrame({out_id: ids, "cell": top.reshape(-1)})
+
+    from ..partitioning import ensure_parallelism
+
+    return ensure_parallelism(df.select(F.col(id_col), F.col(vec_col))) \
+        .mapInPandas(gen, schema=f"{out_id} bigint, cell bigint")
+
+
+def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                    n_centroids: int = 16, nprobe: int = 4, seed: int = 7,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (the inverted file); each query scans only its nprobe nearest
+    cells — the k-means analogue of the hyperplane-LSH path, scanning
+    ~nprobe/n_centroids of the corpus per query at scale."""
+    cents = fit_ivf_centroids(embeddings, n_centroids, seed=seed,
+                              id_col=id_col, vec_col=vec_col)
+    corpus_cells = _ivf_cells(embeddings, cents, 1, id_col, vec_col, "neighbor_id")
+    probe_src = queries.select(F.col("query_id").alias(id_col), F.col(vec_col))
+    probes = _ivf_cells(probe_src, cents, nprobe, id_col, vec_col, "query_id")
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).cast("array<double>").alias("cv"))
+    q = queries.select("query_id", F.col(vec_col).cast("array<double>").alias("qv"))
+    scored = (
+        corpus_cells.join(c, "neighbor_id")
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                              n_tables: int = 16, n_planes: int = 4,
                              seed: int = 7, dim: int = 64, bucket_cap: int = 512,

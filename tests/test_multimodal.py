@@ -70,6 +70,43 @@ def test_extract_features_real_decode_spark(spark):
     assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
 
 
+def test_pcm16_decode_and_features():
+    import struct
+
+    samples = [0, 100, -100, 32767, -32768, 1]
+    buf = struct.pack("<6h", *samples) + b"\x01"  # trailing odd byte dropped
+    v = MM.decode_pcm16(buf)
+    assert list(v) == samples
+    # zero crossings between (100,-100), (-100,32767), (32767,-32768), (-32768,1)
+    zc = ((v[:-1] < 0) != (v[1:] < 0)).sum()
+    assert zc == 4
+
+
+def test_resize_image_nearest():
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = MM.resize_image(px, 3, 2)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out[0, 0], px[0, 0]) and np.array_equal(out[1, 2], px[2, 4])
+
+
+def test_sample_frames():
+    buf = bytes(range(10 * 4))  # 10 frames of 4 bytes
+    frames = MM.sample_frames(buf, 4, every=3)
+    assert frames == [bytes(range(0, 4)), bytes(range(12, 16)),
+                      bytes(range(24, 28)), bytes(range(36, 40))]
+    assert MM.sample_frames(buf + b"xx", 4, every=3)[0] == bytes(range(0, 4))
+
+
+def test_audio_features_spark(spark):
+    import struct
+
+    clip = struct.pack("<4h", 10, -10, 20, 5)
+    media = spark.createDataFrame([(1, "audio", clip)],
+                                  schema="media_id bigint, kind string, payload binary")
+    row = MM.audio_features(media).collect()[0]
+    assert (row["n_samples"], row["energy"], row["n_zero_crossings"]) == (4, 625, 2)
+
+
 def test_media_from_documents_builds_valid_ppm(spark):
     docs = spark.createDataFrame([(7, "hello world " * 30)], schema="doc_id bigint, text string")
     row = MM.media_from_documents(docs).collect()[0]

@@ -90,6 +90,22 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert recall >= 0.9, f"top-1 recall {recall}"
 
 
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF (spherical k-means + nprobe cells) must find the planted
+    near-dup as top-1 for (almost) every duplicated query vector."""
+    from minhashsketch_spark.operators.similarity import ivf_cosine_topk
+
+    df, _ = _planted_embeddings(spark, n_base=150, n_dups=40, seed=17)
+    qs = df.filter(F.col("vec_id") >= 150).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = cosine_topk(df, qs, k=1)
+    approx = ivf_cosine_topk(df, qs, k=1, n_centroids=8, nprobe=3)
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, f"IVF top-1 recall {recall}"
+
+
 def test_ensure_parallelism_guard(spark):
     from minhashsketch_spark.partitioning import ensure_parallelism
 
