@@ -177,12 +177,16 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 
 def _q_substring_dups(spark, sf_dir):
+    """Pairs sharing an exact >=64-byte substring. The winnowing guarantee
+    (a shared substring of length >= w+k-1 shares a fingerprint) plus the
+    operator-default min_shared/max_df give candidate recall 1.0 here, so
+    the rolling-hash-verified result equals the oracle's brute 64-byte-gram
+    self-join; lcs_len itself stays pytest-verified (not SQL-expressible)."""
     from minhashsketch_spark.operators.substring import substring_dup_pairs
 
-    # testdata documents share a tiny vocabulary, so fingerprint
-    # collisions are far denser than real webtext: keep the join selective
-    return substring_dup_pairs(_docs_as_urls(spark, sf_dir), k=8, w=16,
-                               min_shared=4, min_lcs=64, max_df=16)
+    pairs = substring_dup_pairs(_docs_as_urls(spark, sf_dir), k=8, w=16,
+                                min_shared=2, min_lcs=64, max_df=24)
+    return pairs.filter("is_substring_dup").select("url_a", "url_b")
 
 
 def _q_corpus_sketch(spark, sf_dir):
@@ -707,6 +711,19 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (v < 0)
                             THEN 1 ELSE 0 END)::BIGINT AS n_zero_crossings
             FROM lagged GROUP BY doc_id
+        """,
+        # "docs share an exact 64-byte substring" == "docs share a 64-byte
+        # gram": brute self-join on hex-pair byte grams
+        "substring_dups": """
+            WITH g AS (
+              SELECT doc_id, unnest(list_distinct(
+                       [substr(hex(encode(text)), 2*i-1, 128)
+                        FOR i IN range(1, octet_length(encode(text)) - 62)])) AS gram
+              FROM documents WHERE octet_length(encode(text)) >= 64
+            )
+            SELECT DISTINCT printf('doc-%08d', a.doc_id) AS url_a,
+                            printf('doc-%08d', b.doc_id) AS url_b
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         """,
         "corpus_sketch": _corpus_sketch_oracle(k=9, m=4, t=16, seed=42),
         **_dna_oracles(),

@@ -53,6 +53,35 @@ def distinct_shingles(text: bytes | np.ndarray, k: int) -> np.ndarray:
     return np.unique(shingle_hashes(text, k))
 
 
+_POLY_MINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 2**64))  # M is odd
+
+
+def gram_hashes(text: bytes | np.ndarray, L: int) -> np.ndarray:
+    """Identical values to ``shingle_hashes(text, L)`` but O(n) for ANY
+    window length: prefix sums of b[j]*Minv^j (M is odd, hence invertible
+    mod 2**64) turn every length-L window hash into one subtraction and
+    one multiply. Used by the LCS verifier, whose binary search probes
+    window lengths in the hundreds where the per-length loop of
+    ``shingle_hashes`` would cost O(n*L) Python-side."""
+    b = text if isinstance(text, np.ndarray) else np.frombuffer(text, dtype=np.uint8)
+    n = b.shape[0]
+    if n < L:
+        return np.empty(0, dtype=np.uint64)
+    minv_pows = np.empty(n, dtype=np.uint64)
+    minv_pows[0] = 1
+    if n > 1:
+        np.cumprod(np.full(n - 1, _POLY_MINV, dtype=np.uint64), out=minv_pows[1:])
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(b.astype(np.uint64) * minv_pows, out=s[1:])
+    diff = s[L:] - s[:-L]              # wraps mod 2**64
+    m_pows = np.empty(n - L + 1, dtype=np.uint64)
+    m_pows[0] = np.uint64(pow(0x9E3779B97F4A7C15, L - 1, 2**64))
+    if m_pows.shape[0] > 1:
+        np.cumprod(np.full(n - L, _POLY_M, dtype=np.uint64), out=m_pows[1:])
+        m_pows[1:] *= m_pows[0]
+    return diff * m_pows
+
+
 def minhash_matrix(xs: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """min over the shingle set of (a_j * x + b_j) mod p, per function j.
 

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.shingles import shingle_hashes
+from ..core.shingles import gram_hashes
 from .text import winnowing_fingerprint
 
 
@@ -36,8 +36,10 @@ def _lcs_len(b1: bytes, b2: bytes, lo: int = 1) -> int:
         return 0
 
     def shares(L: int) -> bool:
-        h1 = shingle_hashes(b1, L)
-        h2 = shingle_hashes(b2, L)
+        # gram_hashes == shingle_hashes values, but O(n) for any L —
+        # the binary search probes L in the hundreds
+        h1 = gram_hashes(b1, L)
+        h2 = gram_hashes(b2, L)
         if h1.shape[0] == 0 or h2.shape[0] == 0:
             return False
         return np.intersect1d(h1, h2).shape[0] > 0
@@ -69,8 +71,10 @@ def substring_dup_pairs(docs: DataFrame, k: int = 8, w: int = 16,
     Verification (rolling-hash LCS) only runs on surviving candidates.
     """
     fp = winnowing_fingerprint(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    # eager localCheckpoint: df-count + both join sides consume this — a
+    # lazy persist lets them race to compute the winnowing UDF partitions
     exploded = fp.select(F.col("doc_id").alias(id_col),
-                         F.explode("fingerprint").alias("fp")).persist()
+                         F.explode("fingerprint").alias("fp")).localCheckpoint()
     doc_freq = exploded.groupBy("fp").agg(F.count("*").alias("df"))
     rare = exploded.join(doc_freq.filter(F.col("df") <= max_df).select("fp"), "fp")
     a = rare.select(F.col(id_col).alias("url_a"), "fp")

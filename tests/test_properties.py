@@ -126,3 +126,15 @@ def test_native_minhash_equals_numpy():
         _native._lib = None
         got = minhash_matrix(xs, a_par, b_par)
         assert np.array_equal(ref, got)
+
+
+def test_gram_hashes_equals_shingle_hashes():
+    """O(n) prefix-hash formulation (invertible multiplier mod 2**64) is
+    value-identical to the per-length rolling loop for every (n, L)."""
+    from minhashsketch_spark.core.shingles import gram_hashes, shingle_hashes
+
+    rng = np.random.RandomState(3)
+    for n in (0, 1, 2, 9, 63, 300, 1500):
+        b = bytes(rng.randint(0, 256, n, dtype=np.uint8).tobytes())
+        for L in (1, 2, 8, 9, 64, 299, 300, 301):
+            assert np.array_equal(shingle_hashes(b, L), gram_hashes(b, L)), (n, L)
