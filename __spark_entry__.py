@@ -57,6 +57,19 @@ def _q_doc_shingle_counts(spark, sf_dir):
         "n_shingles")
 
 
+CFG16 = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=42, threshold=0.7)
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    """The per-document MinHash signature stage itself, bit-exact vs SQL:
+    (doc_id, hash_idx, value) for a t=16 family — the HUGEINT oracle
+    recomputes every (a*x+b) mod 2^64 %p minimum per doc per function."""
+    sigs = compute_signatures(_docs_as_urls(spark, sf_dir), CFG16)
+    return sigs.select(
+        F.substring("url", 5, 8).cast("bigint").alias("doc_id"),
+        F.posexplode("sig").alias("hash_idx", "value"))
+
+
 def _q_minhash_candidates(spark, sf_dir):
     sigs = compute_signatures(_docs_as_urls(spark, sf_dir), CFG)
     return candidate_pairs(sigs, CFG)
@@ -322,6 +335,50 @@ def _corpus_sketch_oracle(k: int = 9, m: int = 4, t: int = 16, seed: int = 42) -
     """
 
 
+def _minhash_signatures_oracle(k: int = 9, t: int = 16, seed: int = 42) -> str:
+    """Per-document m=1 signatures in DuckDB: same HUGEINT machinery as the
+    corpus-sketch oracle, min grouped by (doc, function)."""
+    from minhashsketch_spark.core.shingles import get_family
+
+    p = 3 * 2**62 + 17
+    a, b = get_family(t, seed)
+    m_const = 0x9E3779B97F4A7C15
+    pows = [pow(m_const, k - 1 - j, 2**64) for j in range(k)]
+    terms = " + ".join(
+        f"((('0x' || substr(h, 2*(i+{j})-1, 2))::BIGINT)::HUGEINT * {pows[j]}::HUGEINT)"
+        for j in range(k))
+    fam = ", ".join(f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+                    for j in range(t))
+    w64 = "18446744073709551616::HUGEINT"
+    return f"""
+        WITH hx AS (
+          SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+          FROM documents WHERE octet_length(encode(text)) >= {k}
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, (({terms}) % {w64}) AS x
+          FROM hx, unnest(range(1, n - {k} + 2)) AS t(i)
+        ),
+        fam(j, a, b) AS (VALUES {fam}),
+        hv AS (
+          SELECT doc_id, j,
+            min(CASE WHEN h1 >= {p}::HUGEINT THEN h1 - {p}::HUGEINT ELSE h1 END) AS v
+          FROM (
+            SELECT doc_id, j,
+              ((a * (x % 4294967296::HUGEINT))
+               + ((a * (x // 4294967296::HUGEINT)) % 4294967296::HUGEINT)
+                 * 4294967296::HUGEINT
+               + b) % {w64} AS h1
+            FROM fam, sh)
+          GROUP BY doc_id, j
+        )
+        SELECT doc_id, j::INT AS hash_idx,
+               CASE WHEN v >= 9223372036854775808::HUGEINT
+                    THEN (v - {w64})::BIGINT ELSE v::BIGINT END AS value
+        FROM hv
+    """
+
+
 def _dna_oracles() -> dict[str, str]:
     import json
     import os
@@ -480,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # MinHash near-dup pipeline (SURVEY.md §2.1 O1-O17 re-expressed)
         "doc_shingle_counts": _q_doc_shingle_counts,
+        "minhash_signatures": _q_minhash_signatures,
         "minhash_candidates": _q_minhash_candidates,
         "near_dup_pairs": _q_near_dup_pairs,
         "near_dup_pairs_m4": _q_near_dup_pairs_m4,
@@ -726,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         """,
         "corpus_sketch": _corpus_sketch_oracle(k=9, m=4, t=16, seed=42),
+        "minhash_signatures": _minhash_signatures_oracle(k=9, t=16, seed=42),
         **_dna_oracles(),
         "doc_shingle_counts": """
             SELECT doc_id,

@@ -22,6 +22,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     # the flagship near-dup pipeline stages
     "doc_shingle_counts",
+    "minhash_signatures",
     "minhash_candidates",
     "near_dup_pairs",
     "near_dup_pairs_m4",
