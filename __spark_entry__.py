@@ -51,8 +51,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------- queries
 
 def _q_doc_shingle_counts(spark, sf_dir):
-    sigs = compute_signatures(_docs_as_urls(spark, sf_dir), CFG)
-    return sigs.select(
+    # counts only: Catalyst can't prune inside the UDF, so don't compute
+    # the 128 unused minhash columns (the signature stage is exercised by
+    # minhash_signatures / minhash_candidates / near_dup_*)
+    from minhashsketch_spark.operators.signatures import shingle_counts
+
+    counts = shingle_counts(_docs_as_urls(spark, sf_dir), CFG)
+    return counts.select(
         F.substring("url", 5, 8).cast("bigint").alias("doc_id"),
         "n_shingles")
 

@@ -112,6 +112,48 @@ def compute_signatures(docs: DataFrame, cfg: PipelineConfig,
     )
 
 
+def shingle_counts(docs: DataFrame, cfg: PipelineConfig,
+                   url_col: str = "url", text_col: str = "text") -> DataFrame:
+    """(url, n_shingles) only — Catalyst cannot prune columns *inside* a
+    UDF, so a consumer that needs just the distinct-shingle count must not
+    pay for the t minhash columns (t=128 of them in the default config)."""
+    import pyarrow as pa
+
+    k = cfg.k
+
+    def gen(batches) -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            urls = batch.column(0)
+            texts = batch.column(1)
+            n = batch.num_rows
+            counts = np.empty(n, dtype=np.int64)
+            tarr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+            bufs = tarr.buffers()
+            odt = np.int64 if pa.types.is_large_string(tarr.type) else np.int32
+            offs = np.frombuffer(bufs[1], dtype=odt)[
+                tarr.offset:tarr.offset + n + 1] if n else np.zeros(1, odt)
+            data = (np.frombuffer(bufs[2], dtype=np.uint8)
+                    if len(bufs) > 2 and bufs[2] is not None else np.empty(0, np.uint8))
+            valid = ~np.asarray(tarr.is_null()) if tarr.null_count else None
+            for i in range(n):
+                if valid is not None and not valid[i]:
+                    counts[i] = 0
+                else:
+                    counts[i] = distinct_shingles(data[offs[i]:offs[i + 1]], k).shape[0]
+            yield pa.RecordBatch.from_arrays(
+                [urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls,
+                 pa.array(counts)],
+                names=["url", "n_shingles"])
+
+    from ..partitioning import ensure_parallelism
+
+    return (
+        ensure_parallelism(
+            docs.select(F.col(url_col).alias("url"), F.col(text_col).alias(text_col)))
+        .mapInArrow(gen, schema="url string, n_shingles bigint")
+    )
+
+
 def compute_signatures_m(docs: DataFrame, cfg: PipelineConfig,
                          url_col: str = "url", text_col: str = "text") -> DataFrame:
     """General m >= 1 signature stage: ``sig`` is the flattened t*m
