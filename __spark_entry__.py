@@ -340,6 +340,62 @@ def _corpus_sketch_oracle(k: int = 9, m: int = 4, t: int = 16, seed: int = 42) -
     """
 
 
+def _near_dup_m4_oracle(k: int = 9, m: int = 4, t: int = 32, seed: int = 42,
+                        threshold: float = 0.7) -> str:
+    """General-m estimator in DuckDB: bottom-m distinct per (doc, function)
+    via rank, then the per-function two-pointer match count == an
+    inverted-index join on (function, value) because the m-lists are
+    distinct sets (no UINT64_MAX padding on this corpus — every doc has
+    >= m distinct hashes; with padding the reference counts min(#pads),
+    which a distinct-value join would not — quirk Q2, pytest-covered)."""
+    from minhashsketch_spark.core.shingles import get_family
+
+    p = 3 * 2**62 + 17
+    a, b = get_family(t, seed)
+    m_const = 0x9E3779B97F4A7C15
+    pows = [pow(m_const, k - 1 - j, 2**64) for j in range(k)]
+    terms = " + ".join(
+        f"((('0x' || substr(h, 2*(i+{j})-1, 2))::BIGINT)::HUGEINT * {pows[j]}::HUGEINT)"
+        for j in range(k))
+    fam = ", ".join(f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+                    for j in range(t))
+    w64 = "18446744073709551616::HUGEINT"
+    return f"""
+        WITH hx AS (
+          SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+          FROM documents WHERE octet_length(encode(text)) >= {k}
+        ),
+        sh AS (SELECT DISTINCT doc_id, (({terms}) % {w64}) AS x
+               FROM hx, unnest(range(1, n - {k} + 2)) AS t(i)),
+        fam(j, a, b) AS (VALUES {fam}),
+        hv AS (
+          SELECT DISTINCT doc_id, j,
+            CASE WHEN h1 >= {p}::HUGEINT THEN h1 - {p}::HUGEINT ELSE h1 END AS v
+          FROM (SELECT doc_id, j,
+                  ((a * (x % 4294967296::HUGEINT))
+                   + ((a * (x // 4294967296::HUGEINT)) % 4294967296::HUGEINT)
+                     * 4294967296::HUGEINT
+                   + b) % {w64} AS h1
+                FROM fam, sh)
+        ),
+        bot AS (
+          SELECT doc_id, j, v FROM (
+            SELECT doc_id, j, v,
+                   row_number() OVER (PARTITION BY doc_id, j ORDER BY v) AS rk
+            FROM hv) WHERE rk <= {m}
+        ),
+        matches AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nm
+          FROM bot a JOIN bot b ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT printf('doc-%08d', id_a) AS url_a,
+               printf('doc-%08d', id_b) AS url_b,
+               round(nm / {t * m}.0, 6) AS est_sim
+        FROM matches WHERE nm / {t * m}.0 >= {threshold}
+    """
+
+
 def _minhash_signatures_oracle(k: int = 9, t: int = 16, seed: int = 42) -> str:
     """Per-document m=1 signatures in DuckDB: same HUGEINT machinery as the
     corpus-sketch oracle, min grouped by (doc, function)."""
@@ -790,6 +846,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_sketch": _corpus_sketch_oracle(k=9, m=4, t=16, seed=42),
         "minhash_signatures": _minhash_signatures_oracle(k=9, t=16, seed=42),
+        "near_dup_pairs_m4": _near_dup_m4_oracle(k=9, m=4, t=32, seed=42,
+                                                 threshold=0.7),
         **_dna_oracles(),
         "doc_shingle_counts": """
             SELECT doc_id,
