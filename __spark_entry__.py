@@ -75,9 +75,16 @@ def _q_minhash_signatures(spark, sf_dir):
         F.posexplode("sig").alias("hash_idx", "value"))
 
 
+CFG32 = PipelineConfig(k=9, m=1, t=32, bands=8, rows=4, seed=42, threshold=0.7)
+
+
 def _q_minhash_candidates(spark, sf_dir):
-    sigs = compute_signatures(_docs_as_urls(spark, sf_dir), CFG)
-    return candidate_pairs(sigs, CFG)
+    """The LSH candidate stage, bit-exact vs SQL at a t=32 / 8x4 layout
+    (the DuckDB oracle recomputes minhash + the splitmix64 band-key
+    avalanche in HUGEINT; at the flagship t=128 the same oracle is correct
+    but ~100 s — the t=128 path stays covered end-to-end by near_dup_*)."""
+    sigs = compute_signatures(_docs_as_urls(spark, sf_dir), CFG32)
+    return candidate_pairs(sigs, CFG32)
 
 
 def _near_dup_exact_pairs(spark, sf_dir):
@@ -337,6 +344,106 @@ def _corpus_sketch_oracle(k: int = 9, m: int = 4, t: int = 16, seed: int = 42) -
                CASE WHEN v >= 9223372036854775808::HUGEINT
                     THEN (v - {w64})::BIGINT ELSE v::BIGINT END AS value
         FROM ranked WHERE rk <= {m}
+    """
+
+
+def _xor64(x: str, y: str) -> str:
+    """xor of two mod-2^64 values held in HUGEINT, via 32-bit halves
+    (DuckDB's xor() takes BIGINT)."""
+    return (f"(xor(({x} // 4294967296::HUGEINT)::BIGINT, "
+            f"({y} // 4294967296::HUGEINT)::BIGINT)::HUGEINT"
+            f" * 4294967296::HUGEINT"
+            f" + xor(({x} % 4294967296::HUGEINT), ({y} % 4294967296::HUGEINT))::HUGEINT)")
+
+
+def _shr64(x: str, s: int) -> str:
+    return f"({x} // {1 << s}::HUGEINT)"
+
+
+def _mul64(x: str, c: int) -> str:
+    """(c * x) mod 2^64 with x split into 32-bit halves (a full 64x64
+    product overflows INT128)."""
+    w64 = "18446744073709551616::HUGEINT"
+    return (f"(({c}::HUGEINT * ({x} % 4294967296::HUGEINT)"
+            f" + (({c}::HUGEINT * ({x} // 4294967296::HUGEINT)) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT) % {w64})")
+
+
+def _minhash_candidates_oracle(k: int = 9, t: int = 32, bands: int = 8,
+                               rows: int = 4, seed: int = 42) -> str:
+    """LSH candidate pairs in DuckDB: per-doc minhash (HUGEINT), reshape
+    into bands x rows, then the band-key splitmix64 avalanche
+    (core/shingles.py band_keys_batch) as a generated CTE chain — xor and
+    mul are done in 32-bit halves, shifts are integer division. Pairs =
+    docs sharing (band, key). Buckets here are far below bucket_cap, so
+    the Spark side applies no salting/chains (salt=0 paths only)."""
+    from minhashsketch_spark.core.shingles import get_family
+
+    p = 3 * 2**62 + 17
+    a, b = get_family(t, seed)
+    m_const = 0x9E3779B97F4A7C15
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    pows = [pow(m_const, k - 1 - j, 2**64) for j in range(k)]
+    terms = " + ".join(
+        f"((('0x' || substr(h, 2*(i+{j})-1, 2))::BIGINT)::HUGEINT * {pows[j]}::HUGEINT)"
+        for j in range(k))
+    fam = ", ".join(f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+                    for j in range(t))
+    w64 = "18446744073709551616::HUGEINT"
+
+    ctes, prev, col, step, acc = [], "bandvals", None, 0, "acc0"
+    for r in range(rows):
+        step += 1
+        keep = ", ".join(f"v{q}" for q in range(r + 1, rows))
+        keep = (", " + keep) if keep else ""
+        ctes.append(f"s{step} AS (SELECT doc_id, band{keep}, "
+                    f"((v{r} + {acc}) % {w64}) AS x{step} FROM {prev})")
+        prev, col = f"s{step}", f"x{step}"
+        for op in (lambda e: _xor64(e, _shr64(e, 30)),
+                   lambda e: _mul64(e, c1),
+                   lambda e: _xor64(e, _shr64(e, 27)),
+                   lambda e: _mul64(e, c2),
+                   lambda e: _xor64(e, _shr64(e, 31))):
+            step += 1
+            ctes.append(f"s{step} AS (SELECT doc_id, band{keep}, "
+                        f"{op(col)} AS x{step} FROM {prev})")
+            prev, col = f"s{step}", f"x{step}"
+        acc = col
+
+    bandcols = ", ".join(
+        f"max(CASE WHEN j % {rows} = {r} THEN v END) AS v{r}" for r in range(rows))
+    return f"""
+        WITH hx AS (
+          SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+          FROM documents WHERE octet_length(encode(text)) >= {k}
+        ),
+        sh AS (SELECT DISTINCT doc_id, (({terms}) % {w64}) AS x
+               FROM hx, unnest(range(1, n - {k} + 2)) AS t(i)),
+        fam(j, fa, fb) AS (VALUES {fam}),
+        hv AS (
+          SELECT doc_id, j,
+            min(CASE WHEN h1 >= {p}::HUGEINT THEN h1 - {p}::HUGEINT ELSE h1 END) AS v
+          FROM (SELECT doc_id, j,
+                  ((fa * (x % 4294967296::HUGEINT))
+                   + ((fa * (x // 4294967296::HUGEINT)) % 4294967296::HUGEINT)
+                     * 4294967296::HUGEINT
+                   + fb) % {w64} AS h1
+                FROM fam, sh)
+          GROUP BY doc_id, j
+        ),
+        bandvals AS (
+          SELECT doc_id, (j // {rows}) AS band,
+                 (({m_const}::HUGEINT + (j // {rows})::HUGEINT * {c1}::HUGEINT)
+                  % {w64}) AS acc0,
+                 {bandcols}
+          FROM hv GROUP BY doc_id, j // {rows}
+        ),
+        {', '.join(ctes)},
+        keys AS (SELECT doc_id, band, {col} AS key FROM {prev})
+        SELECT DISTINCT printf('doc-%08d', a.doc_id) AS url_a,
+                        printf('doc-%08d', b.doc_id) AS url_b
+        FROM keys a
+        JOIN keys b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     """
 
 
@@ -848,6 +955,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_signatures_oracle(k=9, t=16, seed=42),
         "near_dup_pairs_m4": _near_dup_m4_oracle(k=9, m=4, t=32, seed=42,
                                                  threshold=0.7),
+        "minhash_candidates": _minhash_candidates_oracle(k=9, t=32, bands=8,
+                                                         rows=4, seed=42),
         **_dna_oracles(),
         "doc_shingle_counts": """
             SELECT doc_id,
