@@ -180,10 +180,14 @@ def _q_embedding_topk(spark, sf_dir):
 
 
 def _q_embedding_topk_lsh(spark, sf_dir):
+    # n_planes sizes buckets to the corpus (2^planes buckets; planes should
+    # grow ~log2(n/target_bucket) at scale): 8 planes over the small-sf
+    # corpora keeps ~n/256 vectors per bucket so each query's 9 probed
+    # buckets return a meaningful candidate set (~40+ of the 50 exact rows)
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return S.lsh_cosine_topk(emb, queries, k=10)
+    return S.lsh_cosine_topk(emb, queries, k=10, n_planes=8)
 
 
 def _q_embedding_topk_ivf(spark, sf_dir):
@@ -666,6 +670,29 @@ def _q_audio_stats(spark, sf_dir):
     return MM.audio_features(media)
 
 
+def _q_windowed_event_counts(spark, sf_dir):
+    """Batch path of the streaming tumbling-window agg — identical agg
+    expressions to streaming/windows.py::windowed_event_counts (the
+    streaming == batch equality is pinned by test_streaming.py; this entry
+    puts the §2.2 streaming category on the oracle surface)."""
+    from minhashsketch_spark.streaming.windows import batch_windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return batch_windowed_event_counts(ev, window="10 minutes")
+
+
+def _q_curated_corpus(spark, sf_dir):
+    """The composed end product (curate.py): exact dedup -> MinHash+LSH+CC
+    near-dedup at the flagship config -> quality/language filters; returns
+    the curated corpus urls. Certifies the end-to-end semantics the
+    north_rule describes, not just each stage in isolation."""
+    from minhashsketch_spark.curate import curate
+
+    res = curate(spark, _docs_as_urls(spark, sf_dir), CFG,
+                 min_quality=20.0, langs=("en",), with_accounting=False)
+    return res["curated"].select("url")
+
+
 def _q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min gaps) — lag + running-sum windows
     then per-session aggregation, the canonical event-stream shape."""
@@ -744,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_by_brand": _q_parts_by_brand,
         "orders_rollup": _q_orders_rollup,
         "user_sessions": _q_user_sessions,
+        "windowed_event_counts": _q_windowed_event_counts,
+        "curated_corpus": _q_curated_corpus,
     }
 
 
@@ -786,14 +815,18 @@ def _winnow_oracle(k: int = 8, w: int = 16) -> str:
     """
 
 
-_NEAR_DUP_CTE = """
+def _near_dup_cte(src: str = "documents") -> str:
+    """Exact-Jaccard dup-pair CTE chain over ``src(doc_id, text)`` —
+    parametrized so the curated-corpus oracle can run it over the
+    exact-dedup keepers instead of the raw table."""
+    return f"""
         sh AS (
           -- byte-level 9-gram shingles via hex pairs (2 hex chars per byte):
           -- exactly the byte windows core/shingles.py hashes
           SELECT doc_id, unnest(list_distinct(
                    [substr(hex(encode(text)), 2*i-1, 18)
                     FOR i IN range(1, octet_length(encode(text)) - 7)])) AS g
-          FROM documents WHERE octet_length(encode(text)) >= 9
+          FROM {src} WHERE octet_length(encode(text)) >= 9
         ),
         gids AS (SELECT g, row_number() OVER (ORDER BY g) AS gid
                  FROM (SELECT DISTINCT g FROM sh)),
@@ -813,6 +846,9 @@ _NEAR_DUP_CTE = """
           WHERE n_inter::double / (sa.n + sb.n - n_inter) >= 0.7
         )
 """
+
+
+_NEAR_DUP_CTE = _near_dup_cte()
 
 _NEAR_DUP_PAIRS_ORACLE = f"""
         WITH {_NEAR_DUP_CTE}
@@ -856,6 +892,61 @@ _NEAR_DEDUP_CORPUS_ORACLE = f"""
         FROM documents WHERE doc_id NOT IN (SELECT u FROM losers)
 """
 
+# the composed curation pipeline (curate.py): exact dedup -> near-dup dedup
+# over the exact keepers -> quality >= 20 and detected_lang = 'en'. Each
+# piece reuses the oracle logic already proven green on its own query; the
+# near-dup CTE runs over the keepers because curate() near-dedups the
+# exact-deduped survivors (pairwise Jaccard is independent of other rows,
+# so restriction == recomputation).
+_CURATED_CORPUS_ORACLE = rf"""
+        WITH RECURSIVE keep0 AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        kdocs AS (
+          SELECT d.doc_id, d.text FROM documents d JOIN keep0 USING (doc_id)
+        ),
+        {_near_dup_cte('kdocs')},
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM dup_pairs
+          UNION SELECT id_b, id_a FROM dup_pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        losers AS (
+          SELECT u FROM reach GROUP BY u HAVING least(u, min(v)) <> u
+        ),
+        survivors AS (
+          SELECT doc_id, text FROM kdocs
+          WHERE doc_id NOT IN (SELECT u FROM losers)
+        ),
+        scored AS (
+          SELECT doc_id,
+                 length(text) AS n,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+                 length(regexp_replace(text, '[^!.,;:?]', '', 'g')) AS n_punct,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                 len(regexp_split_to_array(' ' || lower(text) || ' ', ' the ')) - 1
+                 + len(regexp_split_to_array(' ' || lower(text) || ' ', ' and ')) - 1
+                 + len(regexp_split_to_array(' ' || lower(text) || ' ', ' of ')) - 1 AS en_hits,
+                 len(regexp_split_to_array(' ' || lower(text) || ' ', ' der ')) - 1
+                 + len(regexp_split_to_array(' ' || lower(text) || ' ', ' und ')) - 1
+                 + len(regexp_split_to_array(' ' || lower(text) || ' ', ' die ')) - 1 AS de_hits,
+                 length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS zh_hits
+          FROM survivors
+        )
+        SELECT printf('doc-%08d', doc_id) AS url
+        FROM scored
+        WHERE (CASE WHEN n = 0 THEN 0.0
+                    ELSE round(100.0 * (1.0 - n_digits::double / n)
+                               * (1.0 - n_punct::double / n)
+                               * least(1.0, n_tokens::double / 100.0), 4) END) >= 20.0
+          AND en_hits >= de_hits AND en_hits >= zh_hits AND en_hits > 0
+"""
+
 
 def _simhash_oracle(max_hamming: int = 3, bits: int = 60) -> str:
     """DuckDB replica of operators/dedup.py::simhash + brute-force Hamming
@@ -884,15 +975,121 @@ def _simhash_oracle(max_hamming: int = 3, bits: int = 60) -> str:
     """
 
 
+def _plane_values(n_rows: int, dim: int = 64, seed: int = 7) -> str:
+    """The seeded hyperplane matrix (similarity.py uses
+    np.random.RandomState(seed).standard_normal) as a DuckDB VALUES table
+    ``(pi, pl DOUBLE[])`` — repr() round-trips each double exactly, so the
+    oracle works with bit-identical plane coefficients."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_rows, dim))
+    return ",\n              ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(v)) for v in planes[i]))
+        for i in range(n_rows))
+
+
+def _embedding_lsh_topk_oracle(n_planes: int = 12, seed: int = 7,
+                               k: int = 10) -> str:
+    """DuckDB replica of similarity.py::lsh_cosine_topk: sign-bucket under
+    the literal seeded planes, multi-probe (bucket + all Hamming-1
+    neighbors), score candidates with exact cosine, per-query top-k.
+    Sign agreement with the NumPy matmul holds unless a projection lands
+    within float ulps of 0 (probability ~1e-13 per (vec, plane))."""
+    return f"""
+        WITH planes(pi, pl) AS (
+          VALUES {_plane_values(n_planes, seed=seed)}
+        ),
+        b AS (
+          SELECT e.vec_id,
+                 sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pl) > 0
+                          THEN (1::BIGINT << p.pi) ELSE 0 END)::BIGINT AS bucket
+          FROM embeddings e, planes p GROUP BY e.vec_id
+        ),
+        qb AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, bucket FROM qb
+          UNION
+          SELECT query_id, xor(bucket, (1::BIGINT << i)) FROM qb, range(0, {n_planes}) t(i)
+        ),
+        cand AS (
+          SELECT DISTINCT p.query_id, cb.vec_id AS neighbor_id
+          FROM probes p JOIN b cb ON cb.bucket = p.bucket
+          WHERE cb.vec_id <> p.query_id
+        ),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]), 6) AS cosine
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings e ON e.vec_id = c.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
+def _embedding_near_dup_oracle(n_tables: int = 8, n_planes: int = 5,
+                               seed: int = 7, threshold: float = 0.4) -> str:
+    """DuckDB replica of similarity.py::embedding_near_dup_pairs at the
+    driver params. Valid while every (table, bucket) stays under
+    bucket_cap=512 (true on testdata: ~2k vectors over 8x32 buckets, max
+    ~a few hundred), so salt=0 on both sides and no chain links exist —
+    the same salt=0 argument minhash_candidates' oracle makes. The salted
+    path itself is pinned by the forced-hot-bucket pytest."""
+    return f"""
+        WITH planes(pi, pl) AS (
+          VALUES {_plane_values(n_tables * n_planes, seed=seed)}
+        ),
+        b AS (
+          SELECT e.vec_id, p.pi // {n_planes} AS tbl,
+                 sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pl) > 0
+                          THEN (1::BIGINT << (p.pi % {n_planes})) ELSE 0 END)::BIGINT AS bucket
+          FROM embeddings e, planes p GROUP BY e.vec_id, p.pi // {n_planes}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+          FROM b a JOIN b bb
+            ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+        )
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                            eb.embedding::DOUBLE[]), 6) AS cosine
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+        WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                     eb.embedding::DOUBLE[]) >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "curated_corpus": _CURATED_CORPUS_ORACLE,
+        "windowed_event_counts": """
+            SELECT (floor(epoch(ts))::BIGINT // 600) * 600 AS window_start_s,
+                   event_type, count(*) AS n_events,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS value_c
+            FROM events GROUP BY 1, 2
+        """,
+        "embedding_topk_lsh": _embedding_lsh_topk_oracle(n_planes=8, seed=7, k=10),
+        "embedding_near_dup": _embedding_near_dup_oracle(n_tables=8, n_planes=5,
+                                                         seed=7, threshold=0.4),
         "winnow_fingerprint": _winnow_oracle(k=8, w=16),
         "simhash_pairs": _simhash_oracle(max_hamming=3),
         "near_dup_pairs": _NEAR_DUP_PAIRS_ORACLE,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE,
         "near_dedup_corpus": _NEAR_DEDUP_CORPUS_ORACLE,
         # PPM payload = 11-byte header + first 192 utf-8 text bytes,
-        # zero-padded by the decoder; hist bins are byte-value // 4
+        # zero-padded by the decoder; hist bins are byte-value // 4.
+        # LEFT JOIN from the per-doc spine so npix=0 docs survive with the
+        # all-padding histogram (h0=192) instead of vanishing from the unnest
         "multimodal_features": """
             WITH px AS (
               SELECT doc_id, hex(encode(text)) AS hx,
@@ -900,14 +1097,20 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             b AS (
-              SELECT doc_id, npix, ('0x' || substr(hx, 2*i-1, 2))::INT // 4 AS bin
+              SELECT doc_id, ('0x' || substr(hx, 2*i-1, 2))::INT // 4 AS bin
               FROM px, unnest(range(1, npix + 1)) AS t(i)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS c0,
+                     sum(CASE WHEN bin = 24 THEN 1 ELSE 0 END) AS c24
+              FROM b GROUP BY doc_id
             )
-            SELECT doc_id AS media_id, 'image' AS kind,
-                   (11 + npix)::BIGINT AS n_bytes,
-                   (sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) + (192 - npix))::INT AS h0,
-                   sum(CASE WHEN bin = 24 THEN 1 ELSE 0 END)::INT AS h24
-            FROM b GROUP BY doc_id, npix
+            SELECT px.doc_id AS media_id, 'image' AS kind,
+                   (11 + px.npix)::BIGINT AS n_bytes,
+                   (coalesce(agg.c0, 0) + (192 - px.npix))::INT AS h0,
+                   coalesce(agg.c24, 0)::INT AS h24
+            FROM px LEFT JOIN agg USING (doc_id)
         """,
         # PCM16 samples via hex pairs: sample i = byte(2i-1) + 256*byte(2i),
         # two's-complement signed; features are exact integers
@@ -930,13 +1133,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, v,
                      lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
               FROM sm
+            ),
+            agg AS (
+              SELECT doc_id,
+                     count(*)::BIGINT AS n_samples,
+                     sum(v * v)::BIGINT AS energy,
+                     sum(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (v < 0)
+                              THEN 1 ELSE 0 END)::BIGINT AS n_zero_crossings
+              FROM lagged GROUP BY doc_id
             )
-            SELECT doc_id AS media_id, 'audio' AS kind,
-                   count(*)::BIGINT AS n_samples,
-                   sum(v * v)::BIGINT AS energy,
-                   sum(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (v < 0)
-                            THEN 1 ELSE 0 END)::BIGINT AS n_zero_crossings
-            FROM lagged GROUP BY doc_id
+            -- LEFT JOIN the doc spine: n=0 docs keep a (0, 0, 0) row, like
+            -- the Spark decoder, instead of vanishing from the unnest
+            SELECT px.doc_id AS media_id, 'audio' AS kind,
+                   coalesce(agg.n_samples, 0)::BIGINT AS n_samples,
+                   coalesce(agg.energy, 0)::BIGINT AS energy,
+                   coalesce(agg.n_zero_crossings, 0)::BIGINT AS n_zero_crossings
+            FROM px LEFT JOIN agg USING (doc_id)
         """,
         # "docs share an exact 64-byte substring" == "docs share a 64-byte
         # gram": brute self-join on hex-pair byte grams
@@ -1145,8 +1357,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT user_id, ts, value,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+                     (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_seq
               FROM b
             )
             SELECT user_id, session_seq,

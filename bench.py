@@ -27,6 +27,8 @@ HEADLINE = [
     "near_dup_pairs",
     "near_dup_pairs_m4",
     "near_dup_clusters",
+    # the composed end-to-end curation pipeline
+    "curated_corpus",
     # dedup + text analysis
     "exact_dedup",
     "exact_dedup_corpus",
@@ -36,6 +38,7 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "language_id",
+    "md5_fingerprint",
     "winnow_fingerprint",
     "substring_dups",
     "corpus_sketch",
@@ -46,13 +49,18 @@ HEADLINE = [
     "embedding_near_dup",
     # multimodal + event analytics
     "audio_stats",
+    "multimodal_features",
     "user_sessions",
+    "windowed_event_counts",
     "orders_rollup",
     # reference parity surface (clip FASTAs — constant size, not sf-scaled)
     "dna_similarity",
+    "dna_sketches",
     # relational
     "tpch_q1",
+    "tpch_q3_like",
     "revenue_by_nation",
+    "parts_by_brand",
     "top_events_per_user",
     "event_type_stats",
 ]
@@ -78,6 +86,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
+    missing = sorted(set(qs) - set(HEADLINE))
+    if missing:  # keep the perf surface total: every driver query is benched
+        print(f"WARNING: queries missing from HEADLINE: {missing}", file=sys.stderr)
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

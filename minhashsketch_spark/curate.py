@@ -15,12 +15,14 @@ from .config import PipelineConfig
 from .operators.dedup_corpus import exact_dedup_corpus, near_dedup_corpus
 from .operators.text import language_id, quality_score
 from .pipeline import run_pipeline
+from .sources.io import StageStore
 
 
 def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
            min_quality: float = 20.0, langs: tuple[str, ...] = ("en",),
            checkpoint_root: str | None = None,
-           url_col: str = "url", text_col: str = "text") -> dict:
+           url_col: str = "url", text_col: str = "text",
+           with_accounting: bool = True) -> dict:
     """Returns {"curated": DataFrame, "accounting": dict of step -> rows}.
 
     Order matters at scale: exact dedup first (cheapest, biggest shrink on
@@ -28,16 +30,32 @@ def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
     deduped survivors), cheap per-row filters last (they don't reduce the
     near-dup work, but running them first would change which cluster
     member survives — keeper selection must see the full cluster).
-    """
-    accounting = {"input": docs.count()}
 
-    exact = exact_dedup_corpus(docs, id_col=url_col, text_col=text_col)
-    accounting["after_exact_dedup"] = exact.count()
+    The exact-dedup output is checkpointed through the same StageStore as
+    the pipeline stages: it has three downstream consumers (signatures,
+    verification's text lookup, keeper anti-join) that must not each
+    re-plan the dedup anti-join, and it makes the whole curation resumable
+    per stage. ``with_accounting=False`` skips the step row counts that
+    aren't already free from stage manifests (the counts are monitoring,
+    not semantics).
+    """
+    if checkpoint_root is None:
+        import tempfile
+
+        checkpoint_root = tempfile.mkdtemp(prefix="mhs_curate_")
+    store = StageStore(spark, checkpoint_root, cfg.config_hash())
+
+    if store.exists("exact_dedup"):
+        exact = store.read("exact_dedup")
+    else:
+        exact = store.write("exact_dedup",
+                            exact_dedup_corpus(docs, id_col=url_col,
+                                               text_col=text_col))
+    accounting = {"after_exact_dedup": store.manifest("exact_dedup")["rows"]}
 
     result = run_pipeline(spark, exact, cfg, checkpoint_root=checkpoint_root,
                           url_col=url_col, text_col=text_col)
     near = near_dedup_corpus(exact, result["clusters"], url_col=url_col)
-    accounting["after_near_dedup"] = near.count()
 
     q = quality_score(near, id_col=url_col, text_col=text_col) \
         .select(url_col, "quality_score")
@@ -49,6 +67,9 @@ def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
                 & F.col("detected_lang").isin(*langs))
         .drop("quality_score", "detected_lang")
     )
-    accounting["after_quality_lang"] = curated.count()
+    if with_accounting:
+        accounting["input"] = docs.count()
+        accounting["after_near_dedup"] = near.count()
+        accounting["after_quality_lang"] = curated.count()
     return {"curated": curated, "accounting": accounting,
             "clusters": result["clusters"]}

@@ -103,14 +103,18 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     sign vectors, take the sign per bit.
 
     Entirely JVM-side built-ins (whole-stage codegen — no Python in the hot
-    path): explode tokens, hash each with the first 15 hex chars of md5
-    (60 bits — portable to the DuckDB oracle), then one hash-agg per doc
-    with 60 conditional sums. Each token *occurrence* votes ±1 per bit,
-    which equals Charikar's count-weighted unique-token vote. Docs with no
-    tokens produce no row.
+    path): explode tokens, pre-aggregate ``(doc, token) -> count`` (map-side
+    partial agg collapses repeats before the shuffle), hash each *distinct*
+    token per doc once with the first 15 hex chars of md5 (60 bits —
+    portable to the DuckDB oracle), then one hash-agg per doc with 60
+    count-weighted conditional sums. A token with count n votes ±n per bit
+    — identical by construction to the one-row-per-occurrence vote
+    (Charikar's count-weighted form). Docs with no tokens produce no row.
 
-    Scale: one shuffle on doc_id with map-side partial aggregation; the
-    60-column agg state is 480 bytes/doc — smaller than a signature.
+    Scale: two shuffles — (doc, token) then doc — but both over counts, not
+    occurrences; md5 + the 60 sums run once per distinct token per doc
+    (web text repeats tokens heavily, so this is the cheap side of the
+    trade). The 60-column agg state is 480 bytes/doc.
     """
     from ..partitioning import ensure_parallelism
 
@@ -119,21 +123,26 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
         .filter(F.length(t) > 0)
         .select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("token"))
+        .groupBy(id_col, "token").agg(F.count("*").alias("n"))
         .withColumn("h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint"))
     )
     votes = [
-        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+        F.sum((F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("n")).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
-    bit_terms = [
+    terms = [
         F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         for b in range(SIMHASH_BITS)
     ]
-    sh = bit_terms[0]
-    for term in bit_terms[1:]:
-        sh = sh + term
-    return agg.select(F.col(id_col).alias("doc_id"), sh.cast("bigint").alias("simhash"))
+    # balanced addition tree, not a 60-deep left-nested chain: janino
+    # compiles the deep chain ~2.3x slower (measured 6.3 s -> 2.8 s cold at
+    # sf0.1); integer addition is associative so the bits are identical
+    while len(terms) > 1:
+        terms = [terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                 for i in range(0, len(terms), 2)]
+    return agg.select(F.col(id_col).alias("doc_id"),
+                      terms[0].cast("bigint").alias("simhash"))
 
 
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:

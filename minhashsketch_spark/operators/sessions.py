@@ -17,9 +17,16 @@ from pyspark.sql.window import Window
 
 
 def sessionize(events: DataFrame, gap_s: int = 1800,
-               user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
-    """events + (user, ts) -> events + session_seq (0-based per user)."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+               user_col: str = "user_id", ts_col: str = "ts",
+               tiebreak_col: str | None = "event_id") -> DataFrame:
+    """events + (user, ts) -> events + session_seq (0-based per user).
+
+    ``tiebreak_col`` makes the within-user order total when timestamps
+    collide (None = ts-only ordering for tables without a natural id —
+    session *membership* is then still deterministic, only which of two
+    equal-ts rows counts as the break is tie-ambiguous)."""
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(ts_col).over(w)
     is_break = (
         prev.isNull()
@@ -32,9 +39,10 @@ def sessionize(events: DataFrame, gap_s: int = 1800,
 
 
 def user_sessions(events: DataFrame, gap_s: int = 1800,
-                  user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  tiebreak_col: str | None = "event_id") -> DataFrame:
     """One row per (user, session): bounds, size, duration, value sum."""
-    s = sessionize(events, gap_s, user_col, ts_col)
+    s = sessionize(events, gap_s, user_col, ts_col, tiebreak_col)
     # bounds as floor-epoch seconds: integer-exact across engines (a raw
     # timestamp column would compare at whatever precision the harness keeps)
     return (

@@ -146,13 +146,25 @@ def hyperplane_bands(embeddings: DataFrame, n_tables: int = 16, n_planes: int = 
 
 def fit_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
                       n_iters: int = 10, sample_n: int = 4096, seed: int = 7,
+                      sample_mod: int = 8,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
     """Spherical k-means coarse quantizer fitted on a deterministic sample
     (standard IVF practice: the codebook is tiny and trained off a sample,
     then broadcast; at 10^12 vectors the sample is still a driver-sized
-    collect)."""
-    rows = (embeddings.orderBy(id_col).limit(sample_n)
+    collect).
+
+    Sampling is a deterministic hash filter (``xxhash64(id) % mod == 0``)
+    with a small sort *of the filtered set only* for run-order stability —
+    not a TakeOrdered over the full corpus (that plans a per-partition
+    top-k heap over every row; the filter is a narrow scan and the sort
+    touches ~n/mod rows). At scale pick ``sample_mod ~ n / (4 * sample_n)``
+    so the sorted set stays driver-sized."""
+    rows = (embeddings
+            .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+            .orderBy(id_col).limit(sample_n)
             .select(vec_col).collect())
+    if len(rows) < n_centroids:  # tiny corpus: fall back to the full scan
+        rows = embeddings.orderBy(id_col).limit(sample_n).select(vec_col).collect()
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -229,8 +241,13 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
 
     Scale design (mirrors operators/lsh.py): self-join per (table, bucket);
     hot buckets are *salted* into ceil(size/cap) sub-buckets (nothing
-    dropped) with a (vec_id)-ordered chain of extra candidates so identical
-    embeddings stay connected across sub-buckets; exact cosine filters.
+    dropped) with a (vec_id)-ordered chain of extra candidates, then exact
+    cosine filters. Chain pairs are threshold-filtered individually (there
+    is no CC closure downstream here, unlike lsh.py), so cross-sub-bucket
+    connectivity is guaranteed for identical/near-identical embeddings —
+    every chain hop passes the filter (pinned by the forced-hot-bucket
+    pytest) — while merely-similar pairs split across a hot bucket rely on
+    the other n_tables-1 independent tables for recall.
     A single-table 12-plane join has ~0.16 recall at cosine 0.9 — multiple
     independent tables are what make recall approach 1 (1-(1-p^r)^T)."""
     b = hyperplane_bands(embeddings, n_tables, n_planes, seed, dim, id_col, vec_col)

@@ -38,9 +38,9 @@ def windowed_event_counts(spark: SparkSession, input_path: str,
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("value_sum"))
-        .select(F.col("w.start").alias("window_start"), "event_type",
-                "n_events", "value_sum")
+             F.round(F.sum("value") * 100).cast("bigint").alias("value_c"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+                "event_type", "n_events", "value_c")
     )
     return (
         agg.writeStream.outputMode("complete")
@@ -51,11 +51,14 @@ def windowed_event_counts(spark: SparkSession, input_path: str,
 
 
 def batch_windowed_event_counts(events: DataFrame, window: str = "10 minutes") -> DataFrame:
-    """Batch equivalent (the oracle for the streaming test)."""
+    """Batch equivalent — same agg expressions as the stream (the streaming
+    == batch equality is pytest-pinned; this is also the driver-surface
+    entry, with window bounds as epoch seconds and money as bigint cents
+    per the cross-engine contract)."""
     return (
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("value_sum"))
-        .select(F.col("w.start").alias("window_start"), "event_type",
-                "n_events", "value_sum")
+             F.round(F.sum("value") * 100).cast("bigint").alias("value_c"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+                "event_type", "n_events", "value_c")
     )

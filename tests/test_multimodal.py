@@ -113,3 +113,29 @@ def test_media_from_documents_builds_valid_ppm(spark):
     px = MM.decode_ppm(bytes(row["payload"]))
     want = ("hello world " * 30).encode()[:MM.PPM_W * MM.PPM_H * 3]
     assert bytes(px.reshape(-1)[:len(want)]) == want
+
+
+def test_feature_oracles_keep_empty_docs(spark, tmp_path):
+    """ADVICE r2: the DuckDB oracles' unnest(range(...)) drops npix=0 /
+    n=0 docs while Spark emits a row (zero-padded hist / (0,0,0) audio);
+    pin both engines on a corpus that actually contains an empty doc."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "abcd"), (3, "x" * 300)], schema="doc_id bigint, text string")
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet/*.parquet'")
+    for name in ("multimodal_features", "audio_stats"):
+        sdf = entry_mod.queries()[name](spark, str(tmp_path))
+        scols = sdf.columns
+        srows = sorted(tuple(r[c] for c in sorted(scols)) for r in sdf.collect())
+        ores = con.execute(entry_mod.oracle_sql()[name]).fetchall()
+        ocols = [d[0] for d in con.description]
+        orows = sorted(tuple(r[ocols.index(c)] for c in sorted(ocols)) for r in ores)
+        assert len(srows) == 3 == len(orows), f"{name}: empty doc dropped"
+        assert srows == orows, f"{name}: engines disagree on empty-doc corpus"

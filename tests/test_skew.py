@@ -1,0 +1,95 @@
+"""Forced-hot-bucket skew path at volume: salting must bound the candidate
+expansion at O(s * cap) while chain links keep mega-duplicate groups
+connected across sub-buckets (testdata buckets sit under bucket_cap, so the
+oracle surface only ever exercises the salt=0 path — this pins the salted
+path itself)."""
+
+from pyspark.sql import functions as F
+
+from minhashsketch_spark.config import PipelineConfig
+from minhashsketch_spark.operators.connected_components import connected_components
+from minhashsketch_spark.operators.lsh import (
+    candidate_pairs,
+    explode_bands,
+    salt_hot_buckets,
+)
+from minhashsketch_spark.operators.signatures import compute_signatures
+
+N_DOCS = 5000
+CAP = 64
+CFG = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=11, threshold=0.7,
+                     bucket_cap=CAP)
+
+
+def _mega_bucket_docs(spark, n=N_DOCS):
+    # identical text -> identical signatures -> every band is ONE bucket of
+    # n docs (the boilerplate-page skew shape that motivates salting)
+    return spark.range(n).select(
+        F.format_string("doc-%08d", F.col("id")).alias("url"),
+        F.lit("the same boilerplate page body across the whole crawl").alias("text"),
+    )
+
+
+def test_salting_bounds_candidates_and_chains_keep_connectivity(spark):
+    docs = _mega_bucket_docs(spark)
+    sigs = compute_signatures(docs, CFG)
+
+    salted = salt_hot_buckets(explode_bands(sigs), CFG.bucket_cap)
+    n_salt = salted.agg(F.max("n_salt")).collect()[0][0]
+    assert n_salt > 1, "the hot path must actually engage"
+
+    cand = candidate_pairs(sigs, CFG).localCheckpoint()
+    n_cand = cand.count()
+    # (b) bounded expansion: within-pairs per band are
+    # n_salt * C(~s/n_salt, 2) <= s*cap/2, plus <= s chain links; bands
+    # collapse under dropDuplicates (identical docs -> identical salts)
+    assert n_cand <= N_DOCS * CAP // 2 + N_DOCS
+    assert n_cand < N_DOCS * (N_DOCS - 1) // 4, "must stay far from O(s^2)"
+
+    # (a) no pair loss through chains: identical docs verify at sim 1.0, so
+    # every candidate is a true edge — the chain links must keep the whole
+    # mega-group one connected component across all sub-buckets
+    clusters = connected_components(cand, max_iterations=CFG.max_cc_iterations)
+    assert clusters.count() == N_DOCS
+    assert clusters.select("cluster_id").distinct().count() == 1
+
+
+def test_embedding_hot_bucket_chains_connect_identical_vectors(spark):
+    """ADVICE r2: chain pairs in embedding_near_dup_pairs are
+    threshold-filtered individually, so cross-sub-bucket recall relies on
+    the chain *intermediates* passing the cosine filter. For the case that
+    matters (a hot bucket of identical/near-identical embeddings) every
+    chain hop passes, so the planted group must come out fully connected."""
+    import numpy as np
+
+    from minhashsketch_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(64)
+    n_dup, n_noise = 40, 200
+    rows = [(int(i), (base + rng.standard_normal(64) * 1e-4).tolist())
+            for i in range(n_dup)]
+    rows += [(int(n_dup + i), rng.standard_normal(64).tolist())
+             for i in range(n_noise)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    pairs = embedding_near_dup_pairs(emb, threshold=0.9, n_tables=4,
+                                     n_planes=3, bucket_cap=8).collect()
+    # near-identical vectors share every table's bucket -> a bucket of 40
+    # over cap 8 -> n_salt = 5 sub-buckets; chains must bridge them
+    edges = [(r["id_a"], r["id_b"]) for r in pairs
+             if r["id_a"] < n_dup and r["id_b"] < n_dup]
+    parent = list(range(n_dup))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    roots = {find(i) for i in range(n_dup)}
+    assert roots == {find(0)}, f"planted group split into {len(roots)} components"
+    # and no false positives against the noise vectors
+    assert all(r["cosine"] >= 0.9 for r in pairs)
