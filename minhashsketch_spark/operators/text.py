@@ -99,6 +99,83 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher-style quality filters
+    for crawl text): duplicate-token fraction and duplicate-bigram fraction
+    (1 - distinct/total). Entirely narrow — split/array_distinct on the
+    token array, no explode, no shuffle: the cheapest possible plan shape
+    for a per-row filter at 100 TB."""
+    t = F.trim(F.col(text_col))
+    toks = F.split(t, r"\s+")
+    # guard single-token docs: sequence(0, -1) would infer step -1 and emit
+    # a bogus index 0 (ANSI element_at(0) throws)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    def frac(total, distinct):
+        return F.round(1.0 - distinct.cast("double") / total, 6)
+
+    # build each array once in a projection, derive sizes off the columns
+    base = docs.filter(F.length(t) > 0).select(F.col(id_col), toks.alias("_t"),
+                                               bigrams.alias("_b"))
+    n_tok = F.size(F.col("_t"))
+    n_distinct = F.size(F.array_distinct(F.col("_t")))
+    n_bg = F.size(F.col("_b"))
+    n_bg_distinct = F.size(F.array_distinct(F.col("_b")))
+    return base.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        frac(n_tok, n_distinct).alias("dup_token_frac"),
+        F.when(n_bg > 0, frac(n_bg, n_bg_distinct))
+        .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k tf-idf terms per document: tf = in-doc occurrences, idf = the
+    raw inverse document frequency N/df (the ratio form, not its log — one
+    integer-exact multiply + one correctly-rounded IEEE division, so the
+    ordering is bit-identical across engines; libm ln() is NOT correctly
+    rounded and would let a last-ulp difference flip a rank between Spark
+    and the oracle). Output carries only integers (doc_id, rank, term, tf,
+    df) — the score orders the rank but never crosses the engine boundary;
+    mathematically equal scores order by term.
+
+    Plan: explode -> (doc, token) count -> token df join -> per-doc top-k
+    window. At scale: two hash-agg shuffles over (doc, token) / token plus
+    one window shuffle on doc — df is a corpus-wide dimension that stays
+    columnar (no driver collect)."""
+    from ..partitioning import ensure_parallelism
+
+    n_docs = docs.count()  # scalar for idf; one cheap count job at plan time
+    t = F.trim(F.col(text_col))
+    toks = (
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .filter(F.length(t) > 0)
+        .select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("term"))
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = (F.col("tf").cast("double") * F.lit(float(n_docs))) / F.col("df")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc(score), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(id_col), "rank", "term", "tf", "df")
+    )
+
+
 def md5_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact-content fingerprint (md5) — shared by Spark & DuckDB for oracle
     parity; the scale path for exact dedup."""
