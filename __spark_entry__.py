@@ -670,6 +670,26 @@ def _q_audio_stats(spark, sf_dir):
     return MM.audio_features(media)
 
 
+def _q_html_extract(spark, sf_dir):
+    """The crawl pipeline's first step (input_hint: html:binary -> text).
+    Driver testdata carries no html column, so the query assembles the real
+    binary html container JVM-side (encode + binary concat — the same
+    pattern media_from_documents uses for PPM) and the oracle re-runs the
+    identical wrap + extract in DuckDB; byte-identity of extraction against
+    genuinely stored html is pinned by pytest on the in-repo corpus."""
+    from minhashsketch_spark.operators.extract import extract_text
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(F.lit(b"<html><body>"), F.encode("text", "utf-8"),
+                    F.lit(b"</body></html>"))
+    wrapped = docs.select("doc_id", html.alias("html"))
+    ext = extract_text(wrapped, html_col="html", out_col="extracted_text")
+    return ext.select(
+        "doc_id",
+        F.md5("extracted_text").alias("extracted_md5"),
+        F.length("extracted_text").alias("n_chars"))
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc repetition quality signals — highly
     non-vacuous on the tiny-vocabulary testdata (every doc repeats
@@ -782,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_by_brand": _q_parts_by_brand,
         "orders_rollup": _q_orders_rollup,
         "user_sessions": _q_user_sessions,
+        "html_extract": _q_html_extract,
         "repetition_stats": _q_repetition_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "windowed_event_counts": _q_windowed_event_counts,
@@ -1085,6 +1106,27 @@ def _embedding_near_dup_oracle(n_tables: int = 8, n_planes: int = 5,
 def oracle_sql() -> dict[str, str]:
     return {
         "curated_corpus": _CURATED_CORPUS_ORACLE,
+        # same wrap + strip + unescape recomputed in DuckDB over the blob
+        # (decode(encode(...)) round-trips utf-8; chr(39) = single quote)
+        "html_extract": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     decode(encode('<html><body>') || encode(text)
+                            || encode('</body></html>')) AS html
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(replace(
+                       regexp_replace(html, '<[^>]*>', '', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', chr(39)), '&amp;', '&') AS extracted_text
+              FROM h
+            )
+            SELECT doc_id, md5(extracted_text) AS extracted_md5,
+                   length(extracted_text) AS n_chars
+            FROM e
+        """,
         "repetition_stats": r"""
             WITH t AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a

@@ -29,7 +29,8 @@ HEADLINE = [
     "near_dup_clusters",
     # the composed end-to-end curation pipeline
     "curated_corpus",
-    # dedup + text analysis
+    # crawl ingestion + dedup + text analysis
+    "html_extract",
     "exact_dedup",
     "exact_dedup_corpus",
     "near_dedup_corpus",

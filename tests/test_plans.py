@@ -86,3 +86,26 @@ def test_lsh_candidates_no_cartesian(spark):
     plan = _plan(candidate_pairs(compute_signatures(docs, cfg), cfg))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_stats_no_shuffle(spark):
+    """repetition_stats is a per-row filter signal: the plan must be a pure
+    narrow map — no Exchange, no Python eval, scan pruned to (doc_id, text)."""
+    from minhashsketch_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(repetition_stats(docs))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "text" in scan[0] and "lang" not in scan[0]
+
+
+def test_tfidf_scan_prunes_and_stays_jvm(spark):
+    from minhashsketch_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs, k=3))
+    assert "EvalPython" not in plan
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "lang" not in scan[0] and "source" not in scan[0]

@@ -30,3 +30,25 @@ def test_tfidf_top_terms_ordering(spark):
             for r in tfidf_top_terms(docs, k=2).filter("doc_id = 1").collect()]
     # doc 1 scores: rare = 1*4/1 = 4, common = 2*4/4 = 2 -> rare first
     assert rows == [(1, "rare", 1, 1), (2, "common", 2, 4)]
+
+
+def test_extract_text_byte_identical_on_real_html(spark):
+    """north_star invariant: byte-identical extracted text per url — run
+    the extractor against the corpus's genuinely stored html:binary column
+    and require equality on every row, plus exact entity handling."""
+    from pyspark.sql import functions as F
+
+    from minhashsketch_spark.operators.extract import extract_text
+    from minhashsketch_spark.sources.corpus import corpus_dataframe
+
+    docs, _ = corpus_dataframe(spark, n_docs=300, seed=17)
+    ext = extract_text(docs, html_col="html")
+    n_bad = ext.filter(F.col("extracted_text") != F.col("text")).count()
+    assert n_bad == 0
+
+    tricky = spark.createDataFrame(
+        [(1, "<p>a &amp;lt; b &quot;q&quot; &#39;s&#39; 5 &lt; 6</p>".encode())],
+        "doc_id bigint, html binary")
+    out = extract_text(tricky).collect()[0]["extracted_text"]
+    # single-pass unescape: &amp;lt; -> &lt; (not <), standard behavior
+    assert out == 'a &lt; b "q" \'s\' 5 < 6'
