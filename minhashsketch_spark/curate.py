@@ -9,11 +9,10 @@ training-data pipeline actually runs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from .config import PipelineConfig
 from .operators.dedup_corpus import exact_dedup_corpus, near_dedup_corpus
-from .operators.text import language_id, quality_score
+from .operators.text import detected_lang_expr, quality_score_expr
 from .pipeline import run_pipeline
 from .sources.io import StageStore
 
@@ -57,16 +56,13 @@ def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
                           url_col=url_col, text_col=text_col)
     near = near_dedup_corpus(exact, result["clusters"], url_col=url_col)
 
-    q = quality_score(near, id_col=url_col, text_col=text_col) \
-        .select(url_col, "quality_score")
-    lid = language_id(near, id_col=url_col, text_col=text_col) \
-        .select(url_col, "detected_lang")
-    curated = (
-        near.join(q, url_col).join(lid, url_col)
-        .filter((F.col("quality_score") >= min_quality)
-                & F.col("detected_lang").isin(*langs))
-        .drop("quality_score", "detected_lang")
-    )
+    # per-row filters apply INLINE on the survivors (pure Column
+    # expressions): joining reduced (url, score) frames back would re-plan
+    # the near-dedup anti-join once per join side — three corpus scans +
+    # three anti-join shuffles at 100 TB for what is a narrow map
+    curated = near.filter(
+        (quality_score_expr(text_col) >= min_quality)
+        & detected_lang_expr(text_col).isin(*langs))
     if with_accounting:
         accounting["input"] = docs.count()
         accounting["after_near_dedup"] = near.count()

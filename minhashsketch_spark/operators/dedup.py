@@ -27,21 +27,28 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def trigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, trigram) — distinct whitespace-token trigrams per doc."""
+    """(id, trigram) — distinct whitespace-token trigrams per doc.
+
+    The token array is materialized in its own projection BEFORE the
+    transform(): referencing the raw split() expression inside the lambda
+    re-evaluates the split once per element (O(n^2) splits per doc —
+    measured 13x on the bigram analogue at sf0.1)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    tg = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
-                              F.element_at(toks, i + 2), F.element_at(toks, i + 3)),
-    )
     from ..partitioning import ensure_parallelism
 
-    return (
+    base = (
         ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
         .filter(F.length(F.trim(F.col(text_col))) > 0)
         .filter(F.size(toks) >= 3)
-        .select(F.col(id_col), F.explode(F.array_distinct(tg)).alias("trigram"))
+        .select(F.col(id_col), toks.alias("_t"))
     )
+    tcol = F.col("_t")
+    tg = F.transform(
+        F.sequence(F.lit(0), F.size(tcol) - 3),
+        lambda i: F.concat_ws(" ", F.element_at(tcol, i + 1),
+                              F.element_at(tcol, i + 2), F.element_at(tcol, i + 3)),
+    )
+    return base.select(F.col(id_col), F.explode(F.array_distinct(tg)).alias("trigram"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.5,

@@ -40,17 +40,16 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality signals: length, digit ratio, punct ratio, stopword
-    hits, plus a composite 0-100 score. All JVM-side string built-ins."""
+def quality_score_expr(text_col: str = "text"):
+    """The composite 0-100 quality score as a pure Column expression — so a
+    filter can apply it inline on a wide row (one scan, no join-back; the
+    operator below is the standalone projection form)."""
     text = F.col(text_col)
     n = F.length(text)
     digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    # simple explicit class — identical semantics in Java regex and RE2
     punct = F.length(F.regexp_replace(text, r"[^!.,;:?]", ""))
-    the_hits = F.size(F.split(F.concat(F.lit(" "), text, F.lit(" ")), r"\sthe\s")) - 1
     n_tokens = _token_count(text)
-    score = (
+    return (
         F.when(n == 0, F.lit(0.0))
         .otherwise(
             F.round(
@@ -62,6 +61,18 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
             )
         )
     )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: length, digit ratio, punct ratio, stopword
+    hits, plus a composite 0-100 score. All JVM-side string built-ins."""
+    text = F.col(text_col)
+    n = F.length(text)
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    # simple explicit class — identical semantics in Java regex and RE2
+    punct = F.length(F.regexp_replace(text, r"[^!.,;:?]", ""))
+    the_hits = F.size(F.split(F.concat(F.lit(" "), text, F.lit(" ")), r"\sthe\s")) - 1
+    score = quality_score_expr(text_col)
     return docs.select(
         F.col(id_col),
         n.alias("n_chars"),
@@ -72,6 +83,30 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def _lang_hit_exprs(text_col: str = "text"):
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+
+    def hits(marker: str):
+        return F.size(F.split(padded, marker)) - 1
+
+    en = hits(r" the ") + hits(r" and ") + hits(r" of ")
+    de = hits(r" der ") + hits(r" und ") + hits(r" die ")
+    zh = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    return en, de, zh
+
+
+def detected_lang_expr(text_col: str = "text"):
+    """The language decision as a pure Column expression (inline-filter
+    form of language_id; ties broken en > de > zh)."""
+    en, de, zh = _lang_hit_exprs(text_col)
+    return (
+        F.when((en >= de) & (en >= zh) & (en > 0), "en")
+        .when((de >= zh) & (de > 0), "de")
+        .when(zh > 0, "zh")
+        .otherwise("unknown")
+    )
+
+
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic n-gram/stopword language heuristic (en/de/zh/unknown).
 
@@ -79,23 +114,11 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     deployment would swap in fastText — the *operator shape* (narrow map,
     no shuffle) is what matters at 100 TB.
     """
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-
-    def hits(marker: str):
-        return F.size(F.split(padded, marker)) - 1
-
-    en = (hits(r" the ") + hits(r" and ") + hits(r" of ")).alias("en_hits")
-    de = (hits(r" der ") + hits(r" und ") + hits(r" die ")).alias("de_hits")
-    zh = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")).alias("zh_hits")
-    out = docs.select(F.col(id_col), en, de, zh)
-    return out.select(
-        id_col,
-        "en_hits", "de_hits", "zh_hits",
-        F.when((F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") >= F.col("zh_hits"))
-               & (F.col("en_hits") > 0), "en")
-        .when((F.col("de_hits") >= F.col("zh_hits")) & (F.col("de_hits") > 0), "de")
-        .when(F.col("zh_hits") > 0, "zh")
-        .otherwise("unknown").alias("detected_lang"),
+    en, de, zh = _lang_hit_exprs(text_col)
+    return docs.select(
+        F.col(id_col),
+        en.alias("en_hits"), de.alias("de_hits"), zh.alias("zh_hits"),
+        detected_lang_expr(text_col).alias("detected_lang"),
     )
 
 
@@ -108,22 +131,27 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     for a per-row filter at 100 TB."""
     t = F.trim(F.col(text_col))
     toks = F.split(t, r"\s+")
-    # guard single-token docs: sequence(0, -1) would infer step -1 and emit
-    # a bogus index 0 (ANSI element_at(0) throws)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
-                                  F.element_at(toks, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
     def frac(total, distinct):
         return F.round(1.0 - distinct.cast("double") / total, 6)
 
-    # build each array once in a projection, derive sizes off the columns
-    base = docs.filter(F.length(t) > 0).select(F.col(id_col), toks.alias("_t"),
-                                               bigrams.alias("_b"))
+    # materialize the token array in its OWN projection before the bigram
+    # transform: a lambda referencing the raw split() expression re-runs
+    # the split once per element — O(n^2) splits per doc, measured 13x
+    # slower at sf0.1 (6 s -> 0.4 s for the bigram build)
+    base = docs.filter(F.length(t) > 0).select(F.col(id_col), toks.alias("_t"))
+    tcol = F.col("_t")
+    # guard single-token docs: sequence(0, -1) would infer step -1 and emit
+    # a bogus index 0 (ANSI element_at(0) throws)
+    bigrams = F.when(
+        F.size(tcol) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tcol) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(tcol, i + 1),
+                                  F.element_at(tcol, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = base.select(F.col(id_col), tcol, bigrams.alias("_b"))
     n_tok = F.size(F.col("_t"))
     n_distinct = F.size(F.array_distinct(F.col("_t")))
     n_bg = F.size(F.col("_b"))

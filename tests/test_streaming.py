@@ -68,3 +68,46 @@ def test_windowed_event_counts_match_batch(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM we_test").collect())
     want = sorted(tuple(r) for r in batch_windowed_event_counts(events).collect())
     assert got == want and len(got) > 0
+
+
+def test_stateful_dedup_first_seen_and_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: (1) draining one drop equals the
+    batch first-seen oracle; (2) a second drop re-offering already-seen
+    fingerprints emits nothing for them (state persisted via checkpoint),
+    while genuinely new content still comes through."""
+    from minhashsketch_spark.streaming.stateful_dedup import (
+        batch_first_seen,
+        streaming_exact_dedup,
+    )
+
+    docs_df, _ = corpus_dataframe(spark, n_docs=80, seed=9)
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "dedup")
+    ckpt = str(tmp_path / "ckpt")
+    # <= maxFilesPerTrigger files -> one micro-batch -> the stream keeper is
+    # the global min url, comparable to the batch oracle
+    docs_df.coalesce(2).write.parquet(inp)
+
+    q = streaming_exact_dedup(spark, inp, ckpt, out)
+    q.awaitTermination(120)
+    got = {r["fingerprint"]: (r["url"], r["n_chars"])
+           for r in spark.read.parquet(out).collect()}
+    want = {r["fingerprint"]: (r["url"], r["n_chars"])
+            for r in batch_first_seen(docs_df).collect()}
+    assert got == want and len(got) > 0
+
+    # second drop: the same docs again (all dup fingerprints) + fresh docs
+    extra, _ = corpus_dataframe(spark, n_docs=20, seed=77)
+    extra = extra.selectExpr("concat(url, '?v2') AS url", "warc_ts", "html",
+                             "concat(text, ' fresh-content-marker') AS text",
+                             "lang")
+    docs_df.coalesce(1).write.mode("append").parquet(inp)
+    extra.coalesce(1).write.mode("append").parquet(inp)
+
+    q2 = streaming_exact_dedup(spark, inp, ckpt, out)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    fps = [r["fingerprint"] for r in rows]
+    assert len(fps) == len(set(fps)), "a fingerprint was emitted twice"
+    n_new = len(rows) - len(want)
+    assert n_new == extra.select("text").distinct().count()
