@@ -701,6 +701,28 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return TX.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """applyInPandasWithState on the oracle surface: drain the stateful
+    first-seen dedup stream synchronously (availableNow) over one parquet
+    drop and return the emitted (fingerprint, keeper, n_chars) table. One
+    micro-batch covers the whole drop (2 files < maxFilesPerTrigger=4), so
+    the keeper is the deterministic global min url and equals the oracle's
+    md5-group min; cross-batch state retention is pinned by pytest."""
+    import tempfile
+
+    from minhashsketch_spark.streaming.stateful_dedup import streaming_exact_dedup
+
+    tmp = tempfile.mkdtemp(prefix="mhs_stream_dedup_")
+    (_docs_as_urls(spark, sf_dir)
+     .select("url", F.lit(None).cast("timestamp").alias("warc_ts"),
+             F.lit(None).cast("binary").alias("html"), "text",
+             F.lit("en").alias("lang"))
+     .coalesce(2).write.parquet(f"{tmp}/in"))
+    q = streaming_exact_dedup(spark, f"{tmp}/in", f"{tmp}/ckpt", f"{tmp}/out")
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{tmp}/out")
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """Batch path of the streaming tumbling-window agg — identical agg
     expressions to streaming/windows.py::windowed_event_counts (the
@@ -806,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "windowed_event_counts": _q_windowed_event_counts,
+        "streaming_dedup": _q_streaming_dedup,
         "curated_corpus": _q_curated_corpus,
     }
 
@@ -1166,6 +1189,15 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN dft USING (term), n
             )
             SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3
+        """,
+        # md5 groups carry identical text, so length is constant per group
+        "streaming_dedup": """
+            WITH d AS (
+              SELECT printf('doc-%08d', doc_id) AS url, text FROM documents
+            )
+            SELECT md5(text) AS fingerprint, min(url) AS url,
+                   min(length(text))::INT AS n_chars
+            FROM d GROUP BY md5(text)
         """,
         "windowed_event_counts": """
             SELECT (floor(epoch(ts))::BIGINT // 600) * 600 AS window_start_s,

@@ -55,6 +55,7 @@ HEADLINE = [
     "multimodal_features",
     "user_sessions",
     "windowed_event_counts",
+    "streaming_dedup",
     "orders_rollup",
     # reference parity surface (clip FASTAs — constant size, not sf-scaled)
     "dna_similarity",
