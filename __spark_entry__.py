@@ -701,6 +701,21 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return TX.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_cross_corpus_dups(spark, sf_dir):
+    """Incremental-crawl shape: near-dups of an incoming batch (odd doc_ids)
+    against an existing index (even doc_ids) — new x index band join, no
+    self-join on either side. Oracle-equal to the all-pairs scan restricted
+    to cross-parity pairs by the same recall-1.0 argument as
+    near_dup_pairs (32x4 bands at this corpus's planted >= 0.8 clusters)."""
+    from minhashsketch_spark.operators.cross_dedup import cross_corpus_dup_pairs
+
+    docs = _docs_as_urls(spark, sf_dir)
+    par = F.substring("url", 5, 8).cast("bigint") % 2
+    ver = cross_corpus_dup_pairs(docs.filter(par == 1), docs.filter(par == 0), CFG)
+    return (ver.filter(F.col("jaccard") >= F.lit(CFG.threshold))
+            .select("url_new", "url_idx", F.round("jaccard", 6).alias("jaccard")))
+
+
 def _q_streaming_dedup(spark, sf_dir):
     """applyInPandasWithState on the oracle surface: drain the stateful
     first-seen dedup stream synchronously (availableNow) over one parquet
@@ -829,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "windowed_event_counts": _q_windowed_event_counts,
         "streaming_dedup": _q_streaming_dedup,
+        "cross_corpus_dups": _q_cross_corpus_dups,
         "curated_corpus": _q_curated_corpus,
     }
 
@@ -1189,6 +1205,14 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN dft USING (term), n
             )
             SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3
+        """,
+        "cross_corpus_dups": f"""
+            WITH {_near_dup_cte()}
+            SELECT printf('doc-%08d', CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) AS url_new,
+                   printf('doc-%08d', CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END) AS url_idx,
+                   round(jacc, 6) AS jaccard
+            FROM dup_pairs
+            WHERE (id_a % 2) <> (id_b % 2)
         """,
         # md5 groups carry identical text, so length is constant per group
         "streaming_dedup": """

@@ -27,6 +27,7 @@ HEADLINE = [
     "near_dup_pairs",
     "near_dup_pairs_m4",
     "near_dup_clusters",
+    "cross_corpus_dups",
     # the composed end-to-end curation pipeline
     "curated_corpus",
     # crawl ingestion + dedup + text analysis

@@ -93,3 +93,24 @@ def test_embedding_hot_bucket_chains_connect_identical_vectors(spark):
     assert roots == {find(0)}, f"planted group split into {len(roots)} components"
     # and no false positives against the noise vectors
     assert all(r["cosine"] >= 0.9 for r in pairs)
+
+
+def test_cross_corpus_replication_keeps_all_pairs_through_hot_bucket(spark):
+    """Index-side mega-bucket (identical docs over cap): the new side is
+    replicated across the salt range, so EVERY (new, index) dup pair must
+    survive — replication redistributes skew, it never drops pairs."""
+    from pyspark.sql import functions as F
+
+    from minhashsketch_spark.operators.cross_dedup import cross_corpus_dup_pairs
+
+    n_idx, n_new = 600, 5
+    text = "the same boilerplate page body across the whole crawl"
+    idx = spark.range(n_idx).select(
+        F.format_string("idx-%06d", F.col("id")).alias("url"), F.lit(text).alias("text"))
+    new = spark.range(n_new).select(
+        F.format_string("new-%06d", F.col("id")).alias("url"), F.lit(text).alias("text"))
+    cfg = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=11, threshold=0.7,
+                         bucket_cap=64)  # 600 docs / cap 64 -> n_salt = 10
+    ver = cross_corpus_dup_pairs(new, idx, cfg)
+    dups = ver.filter("is_dup").select("url_new", "url_idx").distinct()
+    assert dups.count() == n_new * n_idx  # nothing lost to salting
