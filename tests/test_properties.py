@@ -138,3 +138,44 @@ def test_gram_hashes_equals_shingle_hashes():
         b = bytes(rng.randint(0, 256, n, dtype=np.uint8).tobytes())
         for L in (1, 2, 8, 9, 64, 299, 300, 301):
             assert np.array_equal(shingle_hashes(b, L), gram_hashes(b, L)), (n, L)
+
+
+def test_plan_bands_layouts():
+    from minhashsketch_spark.config import plan_bands
+
+    # the flagship config's own layout: 128 fns at 0.7 -> 32x4 passes 0.99
+    b, r = plan_bands(128, 0.7)
+    assert b * r == 128
+    assert 1.0 - (1.0 - 0.7 ** r) ** b >= 0.99
+    assert r >= 4  # 32x4 recall at 0.7 is ~0.9996; planner must not undershoot
+    # high threshold affords deeper rows (more selective bands)
+    b2, r2 = plan_bands(128, 0.9)
+    assert b2 * r2 == 128 and r2 >= r
+    # r=1 fallback when nothing else meets recall
+    assert plan_bands(4, 0.05) == (4, 1)
+
+
+def test_merge_sketches_equals_r_merge_fold():
+    """The vectorized corpus-sketch merge must equal the reference's rMerge
+    fold row-by-row for arbitrary inputs (padding, dups, order)."""
+    import numpy as np
+
+    from minhashsketch_spark.core.sketch import UINT64_MAX, r_merge
+    from minhashsketch_spark.operators.corpus_sketch import merge_sketches
+
+    rng = np.random.default_rng(5)
+    t, m, n_mats = 7, 4, 5
+    for trial in range(20):
+        mats = []
+        for _ in range(n_mats):
+            vals = rng.integers(0, 12, size=(t, m * 3)).astype(np.uint64)
+            mat = np.sort(vals, axis=1)[:, :m]  # sorted rows, dups likely
+            pad = rng.random((t, m)) < 0.3
+            mat[pad] = UINT64_MAX
+            mats.append(np.sort(mat, axis=1))
+        got = merge_sketches([m_.copy() for m_ in mats], m)
+        want = np.full((t, m), UINT64_MAX, dtype=np.uint64)
+        for mat in mats:
+            for j in range(t):
+                want[j] = r_merge(m, mat[j], want[j])
+        assert np.array_equal(got, want), trial
