@@ -109,3 +109,20 @@ def test_tfidf_scan_prunes_and_stays_jvm(spark):
     assert "EvalPython" not in plan
     scan = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan and "lang" not in scan[0] and "source" not in scan[0]
+
+
+def test_cross_corpus_join_no_cartesian(spark):
+    """The incremental new-x-index join must be an equi-join on
+    (band_key, salt) — never a cartesian, and new-side replication must be
+    a lateral explode, not a join multiplication."""
+    from minhashsketch_spark.operators.cross_dedup import cross_candidate_pairs
+    from minhashsketch_spark.operators.signatures import compute_signatures
+    from minhashsketch_spark.sources.corpus import corpus_dataframe
+
+    cfg = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=1, threshold=0.7)
+    docs, _ = corpus_dataframe(spark, n_docs=60, seed=3)
+    new = docs.limit(10)
+    plan = _plan(cross_candidate_pairs(
+        compute_signatures(new, cfg), compute_signatures(docs, cfg), cfg))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
