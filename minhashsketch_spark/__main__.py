@@ -6,6 +6,9 @@
       ``cal_name seed k m t time similarity`` row out (src/main.cu:287-307).
   python -m minhashsketch_spark pipeline --input DIR --output DIR [--k --t --bands --rows --threshold --seed]
       full near-dup pipeline over a documents table (parquet/Iceberg).
+  python -m minhashsketch_spark curate --input DIR --output DIR [--min-quality --langs --k --t ...]
+      composed curation: exact dedup -> near-dup dedup -> quality/language
+      filters; writes the curated corpus + prints per-step accounting.
 """
 
 from __future__ import annotations
@@ -95,6 +98,45 @@ def _pipeline(argv: list[str]) -> None:
     print(f"clusters written: {n} rows -> {a.output}")
 
 
+def _curate(argv: list[str]) -> None:
+    p = argparse.ArgumentParser(prog="minhashsketch_spark curate")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--min-quality", type=float, default=20.0)
+    p.add_argument("--langs", default="en", help="comma-separated keep list")
+    p.add_argument("--k", type=int, default=9)
+    p.add_argument("--m", type=int, default=1)
+    p.add_argument("--t", type=int, default=128)
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--rows", type=int, default=4)
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--seed", type=int, default=42)
+    a = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .config import PipelineConfig
+    from .curate import curate
+    from .sources.io import read_table, write_table
+
+    spark = (
+        SparkSession.builder.appName("minhashsketch-curate")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    cfg = PipelineConfig(k=a.k, m=a.m, t=a.t, bands=a.bands, rows=a.rows,
+                         threshold=a.threshold, seed=a.seed)
+    docs = read_table(spark, a.input)
+    res = curate(spark, docs, cfg, min_quality=a.min_quality,
+                 langs=tuple(a.langs.split(",")), checkpoint_root=a.checkpoint)
+    write_table(res["curated"], a.output)
+    for step, n in res["accounting"].items():
+        print(f"{step}: {n}")
+    print(f"curated corpus written -> {a.output}")
+
+
 def main() -> None:
     if len(sys.argv) < 2:
         print(__doc__)
@@ -105,6 +147,8 @@ def main() -> None:
             _dna(argv)
         elif cmd == "pipeline":
             _pipeline(argv)
+        elif cmd == "curate":
+            _curate(argv)
         else:
             print(__doc__)
             sys.exit(2)

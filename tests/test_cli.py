@@ -34,3 +34,30 @@ def test_dna_cli_missing_file():
     r = _run("dna", "/nope.fasta", "/nope2.fasta", "--k=5")
     assert r.returncode == 1
     assert "error: input not found" in r.stderr
+
+
+def test_curate_cli_end_to_end(tmp_path):
+    import pandas as pd
+
+    from minhashsketch_spark.sources.corpus import generate_corpus
+
+    docs, _ = generate_corpus(n_docs=300, seed=31)
+    inp = str(tmp_path / "docs.parquet")
+    pd.DataFrame(docs, columns=["url", "warc_ts", "html", "text", "lang"]) \
+        .to_parquet(inp, index=False, coerce_timestamps="us",
+                    allow_truncated_timestamps=True)
+    out = str(tmp_path / "curated")
+    # permissive filters: the synthetic vocab rarely contains the en
+    # stopword markers, so the language gate is widened to 'unknown' — the
+    # CLI path under test is composition + accounting, not the heuristics
+    r = _run("curate", "--input", inp, "--output", out,
+             "--checkpoint", str(tmp_path / "ckpt"),
+             "--min-quality", "0", "--langs", "en,unknown",
+             "--t", "16", "--bands", "4", "--rows", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "curated corpus written" in r.stdout
+    acct = dict(line.split(": ") for line in r.stdout.splitlines()
+                if ": " in line and not line.startswith("curated"))
+    assert int(acct["after_exact_dedup"]) <= int(acct["input"]) == 300
+    assert int(acct["after_near_dedup"]) <= int(acct["after_exact_dedup"])
+    assert int(acct["after_quality_lang"]) == int(acct["after_near_dedup"])
