@@ -43,6 +43,28 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int, path: str | None = None,
+                   sort: bool = True) -> None:
+    """Write ``df`` as a bucketed (and bucket-sorted) catalog table.
+
+    Bucketing pre-shuffles the data ONCE at write time: any later
+    equi-join or aggregation on ``bucket_col`` between tables bucketed
+    into the same ``n_buckets`` runs with NO exchange on either side (the
+    scan itself reports the hash partitioning) — the persisted-layout
+    complement to repartition(), and the right call for tables that are
+    joined on the same key every day (e.g. a signature index keyed by url
+    that each incremental crawl batch joins against). Parquet bucketed
+    tables need the session catalog; ``path`` makes the table external."""
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 class StageStore:
     """Checkpointed stage outputs keyed by (config_hash, stage).
 

@@ -126,3 +126,29 @@ def test_cross_corpus_join_no_cartesian(spark):
         compute_signatures(new, cfg), compute_signatures(docs, cfg), cfg))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Bucketed signature-index pattern: two tables bucketed by the join
+    key into the same bucket count must sort-merge-join with ZERO Exchange
+    (the shuffle was paid once at write time — the brief's 'bucketing for
+    co-located joins')."""
+    from minhashsketch_spark.sources.io import write_bucketed
+
+    a = spark.range(0, 2000).selectExpr("id AS url_id", "id * 2 AS sig_key")
+    b = spark.range(0, 2000).selectExpr("id AS url_id", "id % 7 AS batch")
+    write_bucketed(a, "t_sig_index", "url_id", 8, path=str(tmp_path / "a"))
+    write_bucketed(b, "t_new_batch", "url_id", 8, path=str(tmp_path / "b"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("t_sig_index").join(spark.table("t_new_batch"), "url_id")
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sig_index")
+        spark.sql("DROP TABLE IF EXISTS t_new_batch")
