@@ -24,7 +24,10 @@ from minhashsketch_spark.operators.signatures import compute_signatures
 from minhashsketch_spark.operators.verify import verified_pairs
 from minhashsketch_spark.pipeline import run_pipeline
 
-CFG = PipelineConfig(k=9, m=1, t=128, bands=32, rows=4, seed=42, threshold=0.7)
+# band layout PLANNED from the S-curve (config.plan_bands: largest rows/band
+# with recall >= 0.99 at the threshold) — resolves to 32 bands x 4 rows
+CFG = PipelineConfig.from_threshold(k=9, m=1, t=128, threshold=0.7, seed=42)
+assert (CFG.bands, CFG.rows) == (32, 4)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,7 +701,12 @@ def _q_repetition_stats(spark, sf_dir):
 
 
 def _q_tfidf_top_terms(spark, sf_dir):
-    return TX.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+    # the idf scalar N comes from the parquet footer (row-count metadata, no
+    # data scan) — the "manifest, not a count() job" shape text.py asks for
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return TX.tfidf_top_terms(_docs(spark, sf_dir), k=3, n_docs=n)
 
 
 def _q_cross_corpus_dups(spark, sf_dir):

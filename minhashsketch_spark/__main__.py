@@ -62,6 +62,22 @@ def _dna(argv: list[str]) -> None:
         print(f"similarity: {similarity:.8f}")
 
 
+def _make_config(a):
+    """CLI args -> PipelineConfig. The band layout is PLANNED from the
+    S-curve (config.plan_bands) unless the user pins --bands/--rows — band
+    layout is the engine's decision, threshold/t are the user's."""
+    from .config import PipelineConfig
+
+    if a.bands is None and a.rows is None:
+        return PipelineConfig.from_threshold(k=a.k, m=a.m, t=a.t,
+                                             threshold=a.threshold, seed=a.seed)
+    if a.bands is None or a.rows is None:
+        raise ValueError("--bands and --rows must be given together "
+                         "(or neither, to let the S-curve plan the layout)")
+    return PipelineConfig(k=a.k, m=a.m, t=a.t, bands=a.bands, rows=a.rows,
+                          threshold=a.threshold, seed=a.seed)
+
+
 def _pipeline(argv: list[str]) -> None:
     p = argparse.ArgumentParser(prog="minhashsketch_spark pipeline")
     p.add_argument("--input", required=True)
@@ -70,8 +86,8 @@ def _pipeline(argv: list[str]) -> None:
     p.add_argument("--k", type=int, default=9)
     p.add_argument("--m", type=int, default=1)
     p.add_argument("--t", type=int, default=128)
-    p.add_argument("--bands", type=int, default=32)
-    p.add_argument("--rows", type=int, default=4)
+    p.add_argument("--bands", type=int, default=None)
+    p.add_argument("--rows", type=int, default=None)
     p.add_argument("--threshold", type=float, default=0.7)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--cpus", default="*")
@@ -80,7 +96,7 @@ def _pipeline(argv: list[str]) -> None:
     from pyspark.sql import SparkSession
 
     from .config import PipelineConfig
-    from .pipeline import run_pipeline
+    from .pipeline import input_fingerprint, run_pipeline
     from .sources.io import read_table, write_table
 
     spark = (
@@ -89,10 +105,13 @@ def _pipeline(argv: list[str]) -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
-    cfg = PipelineConfig(k=a.k, m=a.m, t=a.t, bands=a.bands, rows=a.rows,
-                         threshold=a.threshold, seed=a.seed)
+    cfg = _make_config(a)
     docs = read_table(spark, a.input)
-    result = run_pipeline(spark, docs, cfg, checkpoint_root=a.checkpoint)
+    # persistent checkpoints are keyed by config + input: resuming a dir
+    # against a different --input must re-run, not return stale stages
+    key = f"{cfg.config_hash()}-{input_fingerprint(docs)}" if a.checkpoint else None
+    result = run_pipeline(spark, docs, cfg, checkpoint_root=a.checkpoint,
+                          stage_key=key)
     write_table(result["clusters"], a.output)
     n = read_table(spark, a.output).count()
     print(f"clusters written: {n} rows -> {a.output}")
@@ -108,15 +127,14 @@ def _curate(argv: list[str]) -> None:
     p.add_argument("--k", type=int, default=9)
     p.add_argument("--m", type=int, default=1)
     p.add_argument("--t", type=int, default=128)
-    p.add_argument("--bands", type=int, default=32)
-    p.add_argument("--rows", type=int, default=4)
+    p.add_argument("--bands", type=int, default=None)
+    p.add_argument("--rows", type=int, default=None)
     p.add_argument("--threshold", type=float, default=0.7)
     p.add_argument("--seed", type=int, default=42)
     a = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
-    from .config import PipelineConfig
     from .curate import curate
     from .sources.io import read_table, write_table
 
@@ -126,8 +144,7 @@ def _curate(argv: list[str]) -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
-    cfg = PipelineConfig(k=a.k, m=a.m, t=a.t, bands=a.bands, rows=a.rows,
-                         threshold=a.threshold, seed=a.seed)
+    cfg = _make_config(a)
     docs = read_table(spark, a.input)
     res = curate(spark, docs, cfg, min_quality=a.min_quality,
                  langs=tuple(a.langs.split(",")), checkpoint_root=a.checkpoint)

@@ -51,6 +51,21 @@ class PipelineConfig:
         payload = json.dumps(asdict(self), sort_keys=True)
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
+    @classmethod
+    def from_threshold(cls, k: int = 9, m: int = 1, t: int = 128,
+                       threshold: float = 0.8, seed: int = 123,
+                       min_recall: float = 0.99, **kwargs) -> "PipelineConfig":
+        """Config with the (bands, rows) layout PLANNED from the S-curve
+        instead of hand-picked: the largest rows-per-band (fewest false
+        positives — candidate volume is the shuffle cost at 100 TB) whose
+        recall at ``threshold`` still meets ``min_recall``. This is the
+        production constructor; spelling bands/rows out by hand is for tests
+        and parity fixtures. At the flagship t=128 / threshold=0.7 the plan
+        is 32 bands x 4 rows."""
+        bands, rows = plan_bands(t, threshold, min_recall)
+        return cls(k=k, m=m, t=t, seed=seed, bands=bands, rows=rows,
+                   threshold=threshold, **kwargs)
+
 
 def plan_bands(t: int, threshold: float,
                min_recall: float = 0.99) -> tuple[int, int]:

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .config import PipelineConfig
 from .operators.dedup_corpus import exact_dedup_corpus, near_dedup_corpus
 from .operators.text import detected_lang_expr, quality_score_expr
-from .pipeline import run_pipeline
+from .pipeline import _track_auto_root, input_fingerprint, run_pipeline
 from .sources.io import StageStore
 
 
@@ -37,12 +37,19 @@ def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
     per stage. ``with_accounting=False`` skips the step row counts that
     aren't already free from stage manifests (the counts are monitoring,
     not semantics).
+
+    Stage keys fold an INPUT fingerprint in with the config hash: re-running
+    against the same persistent checkpoint dir with a different --input must
+    re-run the stages, not silently return the old corpus's output. An
+    auto-created (None) checkpoint root is removed at interpreter exit.
     """
     if checkpoint_root is None:
         import tempfile
 
         checkpoint_root = tempfile.mkdtemp(prefix="mhs_curate_")
-    store = StageStore(spark, checkpoint_root, cfg.config_hash())
+        _track_auto_root(checkpoint_root)
+    stage_key = f"{cfg.config_hash()}-{input_fingerprint(docs)}"
+    store = StageStore(spark, checkpoint_root, stage_key)
 
     if store.exists("exact_dedup"):
         exact = store.read("exact_dedup")
@@ -53,7 +60,8 @@ def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
     accounting = {"after_exact_dedup": store.manifest("exact_dedup")["rows"]}
 
     result = run_pipeline(spark, exact, cfg, checkpoint_root=checkpoint_root,
-                          url_col=url_col, text_col=text_col)
+                          url_col=url_col, text_col=text_col,
+                          stage_key=stage_key)
     near = near_dedup_corpus(exact, result["clusters"], url_col=url_col)
 
     # per-row filters apply INLINE on the survivors (pure Column

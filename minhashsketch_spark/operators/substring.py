@@ -76,7 +76,12 @@ def substring_dup_pairs(docs: DataFrame, k: int = 8, w: int = 16,
     exploded = fp.select(F.col("doc_id").alias(id_col),
                          F.explode("fingerprint").alias("fp")).localCheckpoint()
     doc_freq = exploded.groupBy("fp").agg(F.count("*").alias("df"))
-    rare = exploded.join(doc_freq.filter(F.col("df") <= max_df).select("fp"), "fp")
+    # df = 1 fingerprints (the vast majority on real text) can only produce
+    # self-pairs, which url_a < url_b drops anyway — pruning them before the
+    # join removes most of the join input for free
+    rare = exploded.join(
+        doc_freq.filter((F.col("df") >= 2) & (F.col("df") <= max_df)).select("fp"),
+        "fp")
     a = rare.select(F.col(id_col).alias("url_a"), "fp")
     b = rare.select(F.col(id_col).alias("url_b"), "fp")
     cands = (

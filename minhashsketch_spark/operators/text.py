@@ -167,7 +167,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
 
 
 def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text", n_docs: int | None = None) -> DataFrame:
     """Top-k tf-idf terms per document: tf = in-doc occurrences, idf = the
     raw inverse document frequency N/df (the ratio form, not its log — one
     integer-exact multiply + one correctly-rounded IEEE division, so the
@@ -180,10 +180,16 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     Plan: explode -> (doc, token) count -> token df join -> per-doc top-k
     window. At scale: two hash-agg shuffles over (doc, token) / token plus
     one window shuffle on doc — df is a corpus-wide dimension that stays
-    columnar (no driver collect)."""
+    columnar (no driver collect).
+
+    ``n_docs`` is the idf scalar N. Pass it explicitly (from a stage
+    manifest, parquet footer metadata, or the catalog) — at 100 TB a
+    ``count()`` here is a second full pass over the corpus for one number.
+    The ``None`` fallback counts, for ad-hoc use on small tables only."""
     from ..partitioning import ensure_parallelism
 
-    n_docs = docs.count()  # scalar for idf; one cheap count job at plan time
+    if n_docs is None:
+        n_docs = docs.count()
     t = F.trim(F.col(text_col))
     toks = (
         ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))

@@ -9,6 +9,10 @@ metrics").
 
 from __future__ import annotations
 
+import atexit
+import hashlib
+import json
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,10 +25,45 @@ from .operators.signatures import compute_signatures
 from .operators.verify import verified_pairs
 from .sources.io import StageStore
 
+# auto-created checkpoint roots (no caller-provided checkpoint_root): each
+# call gets a FRESH root — reuse would let a later call resume from another
+# run's stages — but every root is removed at interpreter exit instead of
+# leaking a parquet copy of the corpus per invocation
+_AUTO_ROOTS: list[str] = []
+
+
+def _cleanup_auto_roots() -> None:
+    for root in _AUTO_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _track_auto_root(root: str) -> None:
+    if not _AUTO_ROOTS:
+        atexit.register(_cleanup_auto_roots)
+    _AUTO_ROOTS.append(root)
+
+
+def input_fingerprint(docs: DataFrame) -> str:
+    """Short fingerprint of a DataFrame's INPUT identity, for folding into
+    persistent checkpoint stage keys: same config + different corpus must
+    not resume from the old corpus's stages. File-based sources fingerprint
+    as the sorted file list; in-memory/derived frames fall back to the
+    analyzed plan's semantic hash."""
+    try:
+        files = sorted(docs.inputFiles())
+    except Exception:
+        files = []
+    if files:
+        payload = json.dumps(files)
+    else:
+        payload = f"plan:{docs._jdf.queryExecution().analyzed().semanticHash()}"
+    return hashlib.sha256(payload.encode()).hexdigest()[:12]
+
 
 def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
                  checkpoint_root: str | None = None,
-                 url_col: str = "url", text_col: str = "text") -> dict[str, DataFrame]:
+                 url_col: str = "url", text_col: str = "text",
+                 stage_key: str | None = None) -> dict[str, DataFrame]:
     """Returns {"signatures", "candidates", "verified", "clusters"} DataFrames.
 
     With ``checkpoint_root`` set, each stage is persisted and a re-run skips
@@ -34,12 +73,19 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
     from a Spark cache — large array columns in an InMemoryRelation
     measurably anti-scale under many-threaded readers, and the checkpoint
     also cuts the signature UDF out of the self-join lineage.
+
+    ``stage_key`` keys the checkpoints; it defaults to the config hash, but
+    a persistent ``checkpoint_root`` shared across inputs must fold an input
+    fingerprint into it (see ``input_fingerprint``) or a re-run on a
+    different corpus would silently resume from the old corpus's stages.
     """
     if checkpoint_root is None:
         import tempfile
 
         checkpoint_root = tempfile.mkdtemp(prefix="mhs_stages_")
-    store = StageStore(spark, checkpoint_root, cfg.config_hash()) if checkpoint_root else None
+        _track_auto_root(checkpoint_root)
+    store = StageStore(spark, checkpoint_root,
+                       stage_key or cfg.config_hash()) if checkpoint_root else None
     timings: dict[str, float] = {}
     # Arrow batch sizing for the signature UDF — the analogue of the
     # reference's CHUNKS sizing (src/MinhashSketch.cu:304-330)

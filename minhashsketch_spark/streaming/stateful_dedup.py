@@ -42,9 +42,14 @@ def _dedup_group(key: tuple, pdfs: Iterable[pd.DataFrame],
         return  # already emitted in an earlier batch: drop all arrivals
     best_url, best_len = None, 0
     for pdf in pdfs:
-        for url, text in zip(pdf["url"].values, pdf["text"].values):
-            if best_url is None or url < best_url:
-                best_url, best_len = url, len(text or "")
+        if len(pdf) == 0:
+            continue
+        # vectorized keeper pick: boilerplate-heavy crawls make some
+        # fingerprint groups huge, so no per-row Python loop here
+        i = pdf["url"].values.argmin()
+        url = pdf["url"].values[i]
+        if best_url is None or url < best_url:
+            best_url, best_len = url, len(pdf["text"].values[i] or "")
     state.update((True,))
     yield pd.DataFrame({"fingerprint": [key[0]], "url": [best_url],
                         "n_chars": [best_len]})

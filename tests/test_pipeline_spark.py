@@ -122,8 +122,11 @@ def test_hot_bucket_salting(spark):
 def test_end_to_end_recall_vs_reference_semantics(spark):
     """Recall >= 0.99 against clusters computed with *reference semantics*
     (estimator src/Hash.cu:80-86 over all pairs, then connected components
-    — the BASELINE.md metric)."""
-    cfg = PipelineConfig(k=9, m=1, t=128, bands=32, rows=4, seed=42, threshold=0.7)
+    — the BASELINE.md metric). The band layout is the PLANNED one
+    (PipelineConfig.from_threshold), so this also certifies that the
+    S-curve planner's 32x4 meets the recall bar on a planted corpus."""
+    cfg = PipelineConfig.from_threshold(k=9, m=1, t=128, threshold=0.7, seed=42)
+    assert (cfg.bands, cfg.rows) == (32, 4)
     docs, _ = generate_corpus(n_docs=300, seed=42)
     docs_df, _ = corpus_dataframe(spark, n_docs=300, seed=42)
 
