@@ -30,6 +30,22 @@ CFG = PipelineConfig.from_threshold(k=9, m=1, t=128, threshold=0.7, seed=42)
 assert (CFG.bands, CFG.rows) == (32, 4)
 
 
+_TMP_DIRS: list[str] = []
+
+
+def _entry_track_tmp(path: str) -> None:
+    """Register a query-created temp dir for removal at interpreter exit
+    (driver queries may run several times per session — e.g. bench reps —
+    and must not leak a parquet copy of the corpus per invocation)."""
+    import atexit
+    import shutil
+
+    if not _TMP_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _TMP_DIRS])
+    _TMP_DIRS.append(path)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -724,6 +740,30 @@ def _q_cross_corpus_dups(spark, sf_dir):
             .select("url_new", "url_idx", F.round("jaccard", 6).alias("jaccard")))
 
 
+def _q_cross_corpus_dups_indexed(spark, sf_dir):
+    """The PRODUCTION incremental shape: the index side persisted once as
+    bucketed catalog tables (build_band_index — signatures, salted bands on
+    jk, salt dim), then the daily batch joined against it with zero
+    index-side Exchange (plan-asserted in tests/test_plans.py). Timing here
+    includes the one-time index build; the daily-run cost alone is the join.
+    Must equal cross_corpus_dups (same oracle SQL) — the bucketed layout is
+    a physical choice, never a semantic one."""
+    import tempfile
+
+    from minhashsketch_spark.operators.cross_dedup import (
+        build_band_index, cross_corpus_dup_pairs_indexed)
+
+    docs = _docs_as_urls(spark, sf_dir)
+    par = F.substring("url", 5, 8).cast("bigint") % 2
+    new, idx = docs.filter(par == 1), docs.filter(par == 0)
+    tmp = tempfile.mkdtemp(prefix="mhs_bidx_")
+    _entry_track_tmp(tmp)
+    build_band_index(spark, idx, CFG, "mhs_cci", n_buckets=32, path_root=tmp)
+    ver = cross_corpus_dup_pairs_indexed(spark, new, "mhs_cci", idx, CFG)
+    return (ver.filter(F.col("jaccard") >= F.lit(CFG.threshold))
+            .select("url_new", "url_idx", F.round("jaccard", 6).alias("jaccard")))
+
+
 def _q_streaming_dedup(spark, sf_dir):
     """applyInPandasWithState on the oracle surface: drain the stateful
     first-seen dedup stream synchronously (availableNow) over one parquet
@@ -736,6 +776,7 @@ def _q_streaming_dedup(spark, sf_dir):
     from minhashsketch_spark.streaming.stateful_dedup import streaming_exact_dedup
 
     tmp = tempfile.mkdtemp(prefix="mhs_stream_dedup_")
+    _entry_track_tmp(tmp)
     (_docs_as_urls(spark, sf_dir)
      .select("url", F.lit(None).cast("timestamp").alias("warc_ts"),
              F.lit(None).cast("binary").alias("html"), "text",
@@ -853,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": _q_windowed_event_counts,
         "streaming_dedup": _q_streaming_dedup,
         "cross_corpus_dups": _q_cross_corpus_dups,
+        "cross_corpus_dups_indexed": _q_cross_corpus_dups_indexed,
         "curated_corpus": _q_curated_corpus,
     }
 
@@ -1150,6 +1192,16 @@ def _embedding_near_dup_oracle(n_tables: int = 8, n_planes: int = 5,
     """
 
 
+_CROSS_CORPUS_ORACLE = f"""
+    WITH {_near_dup_cte()}
+    SELECT printf('doc-%08d', CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) AS url_new,
+           printf('doc-%08d', CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END) AS url_idx,
+           round(jacc, 6) AS jaccard
+    FROM dup_pairs
+    WHERE (id_a % 2) <> (id_b % 2)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "curated_corpus": _CURATED_CORPUS_ORACLE,
@@ -1214,14 +1266,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3
         """,
-        "cross_corpus_dups": f"""
-            WITH {_near_dup_cte()}
-            SELECT printf('doc-%08d', CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) AS url_new,
-                   printf('doc-%08d', CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END) AS url_idx,
-                   round(jacc, 6) AS jaccard
-            FROM dup_pairs
-            WHERE (id_a % 2) <> (id_b % 2)
-        """,
+        "cross_corpus_dups": _CROSS_CORPUS_ORACLE,
+        # identical semantics: the bucketed index layout is physical only
+        "cross_corpus_dups_indexed": _CROSS_CORPUS_ORACLE,
         # md5 groups carry identical text, so length is constant per group
         "streaming_dedup": """
             WITH d AS (

@@ -17,11 +17,24 @@ Scale design (the asymmetric sibling of operators/lsh.py):
 * verification reuses verified_pairs (reference estimator + exact
   Jaccard) over the union of both corpora's signatures/texts — it is
   symmetric in url_a/url_b.
+
+Two entry points:
+
+* ``cross_corpus_dup_pairs`` computes index signatures in-flight — the
+  ad-hoc / driver-scale form (index signatures are localCheckpoint'ed,
+  i.e. executor-memory-resident).
+* ``build_band_index`` + ``cross_corpus_dup_pairs_indexed`` is the
+  production shape: the index's salted band table, salt dimension, and
+  signatures are persisted ONCE as catalog tables bucketed on their join
+  keys (sources.io.write_bucketed), so each daily batch joins with ZERO
+  Exchange on the index side — the shuffle of the 10^12-row index was
+  paid once at build time, and a daily run shuffles only the small batch
+  (plan-asserted in tests/test_plans.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -31,22 +44,33 @@ from .signatures import compute_signatures
 from .verify import verified_pairs
 
 
-def cross_candidate_pairs(new_sigs: DataFrame, index_sigs: DataFrame,
-                          cfg: PipelineConfig) -> DataFrame:
-    """(url_new, url_idx) candidates: pairs sharing >= 1 LSH band key."""
-    nb = explode_bands(new_sigs).select("band_key", F.col("url").alias("url_new"))
-    ib = explode_bands(index_sigs).select("band_key", F.col("url").alias("url_idx"))
-
+def _salted_index_bands(index_bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(band_key, url_idx) -> + (salt, n_salt): hot buckets split into
+    ceil(size/cap) sub-buckets by a stable url hash (resume-safe)."""
     w = Window.partitionBy("band_key")
-    ib = (
-        ib.withColumn("bucket_size", F.count("*").over(w))
+    return (
+        index_bands.withColumn("bucket_size", F.count("*").over(w))
         .withColumn("n_salt",
                     F.ceil(F.col("bucket_size") / F.lit(cfg.bucket_cap)).cast("int"))
         .withColumn("salt",
                     F.when(F.col("n_salt") <= 1, F.lit(0))
                     .otherwise(F.pmod(F.xxhash64("url_idx"), F.col("n_salt")).cast("int")))
         .select("band_key", "salt", "n_salt", "url_idx")
-    ).localCheckpoint()  # window + signature-UDF lineage runs exactly once
+    )
+
+
+def cross_candidate_pairs(new_sigs: DataFrame, index_sigs: DataFrame,
+                          cfg: PipelineConfig) -> DataFrame:
+    """(url_new, url_idx) candidates: pairs sharing >= 1 LSH band key."""
+    nb = explode_bands(new_sigs).select("band_key", F.col("url").alias("url_new"))
+    ib = explode_bands(index_sigs).select("band_key", F.col("url").alias("url_idx"))
+
+    # window + signature-UDF lineage runs exactly once. localCheckpoint is
+    # the DRIVER-SCALE choice (executor storage holds index_docs x bands
+    # rows); at real index scale use build_band_index + the _indexed
+    # variant, which checkpoints this table to a bucketed parquet catalog
+    # table instead
+    ib = _salted_index_bands(ib, cfg).localCheckpoint()
 
     # replicate each new row across the index bucket's salt range (inner
     # join on the per-band n_salt dim also drops new-side bands with no
@@ -68,15 +92,138 @@ def cross_corpus_dup_pairs(new_docs: DataFrame, index_docs: DataFrame,
                            cfg: PipelineConfig, url_col: str = "url",
                            text_col: str = "text") -> DataFrame:
     """Verified near-dup pairs (url_new, url_idx, est_sim, jaccard, is_dup)
-    between an incoming batch and an existing index."""
-    sig_n = compute_signatures(new_docs, cfg, url_col, text_col)
-    sig_i = compute_signatures(index_docs, cfg, url_col, text_col)
+    between an incoming batch and an existing index.
+
+    Both signature frames have two consumers (the candidate band join and
+    the verification union), so both are EAGERLY materialized here — the
+    signature UDF must not be re-planned per consumer. New side is always
+    batch-sized; the index side is localCheckpoint'ed too because this
+    entry point is the ad-hoc/driver-scale form — the production path for
+    a large index is ``cross_corpus_dup_pairs_indexed`` over a persisted
+    ``build_band_index`` table, which never recomputes index signatures."""
+    sig_n = compute_signatures(new_docs, cfg, url_col, text_col).localCheckpoint()
+    sig_i = compute_signatures(index_docs, cfg, url_col, text_col).localCheckpoint()
     cand = cross_candidate_pairs(sig_n, sig_i, cfg).select(
         F.col("url_new").alias("url_a"), F.col("url_idx").alias("url_b"))
     sigs = sig_n.unionByName(sig_i)
     docs = (new_docs.select(F.col(url_col), F.col(text_col))
             .unionByName(index_docs.select(F.col(url_col), F.col(text_col))))
-    ver = verified_pairs(cand, sigs, docs, cfg, url_col, text_col)
+    ver = verified_pairs(cand, sigs, docs, cfg, url_col, text_col,
+                         checkpoint_sigs=False)  # both inputs pre-materialized
+    return ver.select(F.col("url_a").alias("url_new"),
+                      F.col("url_b").alias("url_idx"),
+                      "est_sim", "jaccard", "is_dup")
+
+
+def _jk(band_col, salt_col):
+    """Single bucketable join key folding (band_key, salt) into one long.
+
+    The candidate join runs on this ONE key: the join key must equal the
+    bucket key exactly or Spark's planner disables the bucketed read and
+    shuffles both sides (measured: a [jk, band_key, salt] join plans
+    "Bucketed: false (disabled by query planner)"). xxhash64 is not
+    injective, but a collision only MERGES two sub-buckets' join groups,
+    which can only ADD candidate pairs — never lose one — and every
+    candidate passes exact verification downstream, so pair semantics are
+    unchanged. P(any collision) ~ (#distinct buckets)^2 / 2^64."""
+    return F.xxhash64(band_col, salt_col)
+
+
+def build_band_index(spark: SparkSession, index_docs: DataFrame,
+                     cfg: PipelineConfig, table: str, n_buckets: int = 64,
+                     path_root: str | None = None, url_col: str = "url",
+                     text_col: str = "text") -> dict[str, str]:
+    """One-time (or periodic-refresh) index build for incremental dedup.
+
+    Persists three bucketed catalog tables (sources.io.write_bucketed —
+    the write pays the shuffle once so every later daily join reads the
+    index pre-partitioned, with no Exchange on the index side):
+
+    * ``<table>_sigs``  (url, sig_key, sig, bands) bucketed by url — the
+      verification side's signature lookup, reused by every daily run
+      instead of recomputing the signature UDF over the whole index.
+    * ``<table>_bands`` (jk, band_key, salt, url_idx) bucketed+sorted by
+      ``jk = xxhash64(band_key, salt)`` — the candidate join side. Folding
+      salt into the bucket key keeps hot bands PHYSICALLY spread across
+      sub-buckets in the stored layout (bucketing by band_key alone would
+      put a mega-bucket back into one task and AQE cannot split a bucketed
+      scan).
+    * ``<table>_dim``   (band_key, n_salt) bucketed by band_key — the salt
+      dimension the new side replicates against.
+
+    Returns {"sigs": ..., "bands": ..., "dim": ...} table names.
+    """
+    def p(suffix: str) -> str | None:
+        return f"{path_root}/{suffix}" if path_root else None
+
+    from ..sources.io import write_bucketed
+
+    sigs = compute_signatures(index_docs, cfg, url_col, text_col)
+    write_bucketed(sigs.select("url", "sig_key", "sig", "bands"),
+                   f"{table}_sigs", "url", n_buckets, path=p("sigs"))
+    # derive the band tables from the STORED signatures: one signature-UDF
+    # execution total, and the band build reads columnar parquet
+    stored = spark.table(f"{table}_sigs")
+    ib = explode_bands(stored).select("band_key", F.col("url").alias("url_idx"))
+    salted = _salted_index_bands(ib, cfg)
+    write_bucketed(
+        salted.select(_jk(F.col("band_key"), F.col("salt")).alias("jk"),
+                      "band_key", "salt", "url_idx"),
+        f"{table}_bands", "jk", n_buckets, path=p("bands"))
+    write_bucketed(
+        salted.groupBy("band_key").agg(F.max("n_salt").alias("n_salt")),
+        f"{table}_dim", "band_key", n_buckets, path=p("dim"))
+    return {"sigs": f"{table}_sigs", "bands": f"{table}_bands",
+            "dim": f"{table}_dim"}
+
+
+def cross_candidate_pairs_indexed(spark: SparkSession, new_sigs: DataFrame,
+                                  table: str) -> DataFrame:
+    """(url_new, url_idx) candidates of a batch vs a persisted band index.
+
+    Plan shape (asserted in tests/test_plans.py): the two index-side scans
+    (``<table>_dim``, ``<table>_bands``) are bucketed on their join keys, so
+    the only Exchanges in the plan shuffle the SMALL batch side — first by
+    band_key (salt-dim join), then by jk (band join). The index is never
+    shuffled at query time."""
+    dim = spark.table(f"{table}_dim")
+    ib = spark.table(f"{table}_bands")
+    nb = explode_bands(new_sigs).select("band_key", F.col("url").alias("url_new"))
+    nbr = (
+        nb.join(dim, "band_key")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)))
+        .select("url_new", _jk(F.col("band_key"), F.col("salt")).alias("jk"))
+    )
+    # equi-join on the single bucketed key ONLY — adding band_key/salt
+    # equality (as join keys or as a filter, which Catalyst re-extracts
+    # into join keys) makes join keys != bucket keys and the planner
+    # disables the bucketed read; jk collisions are add-only and
+    # verification-filtered (see _jk)
+    return (
+        nbr.join(ib.select("jk", "url_idx"), "jk")
+        .select("url_new", "url_idx")
+        .dropDuplicates(["url_new", "url_idx"])
+    )
+
+
+def cross_corpus_dup_pairs_indexed(spark: SparkSession, new_docs: DataFrame,
+                                   table: str, index_docs: DataFrame,
+                                   cfg: PipelineConfig, url_col: str = "url",
+                                   text_col: str = "text") -> DataFrame:
+    """Verified near-dup pairs of a daily batch vs a ``build_band_index``
+    table. Index signatures come from the bucketed ``<table>_sigs`` catalog
+    table (no signature recompute, no index-side Exchange in the candidate
+    join); ``index_docs`` supplies only the raw texts for the exact-Jaccard
+    verification of the (batch-sized) surviving candidate set."""
+    sig_n = compute_signatures(new_docs, cfg, url_col, text_col).localCheckpoint()
+    cand = cross_candidate_pairs_indexed(spark, sig_n, table).select(
+        F.col("url_new").alias("url_a"), F.col("url_idx").alias("url_b"))
+    sig_i = spark.table(f"{table}_sigs")
+    sigs = sig_n.select("url", "sig").unionByName(sig_i.select("url", "sig"))
+    docs = (new_docs.select(F.col(url_col), F.col(text_col))
+            .unionByName(index_docs.select(F.col(url_col), F.col(text_col))))
+    ver = verified_pairs(cand, sigs, docs, cfg, url_col, text_col,
+                         checkpoint_sigs=False)  # parquet-backed + batch ckpt
     return ver.select(F.col("url_a").alias("url_new"),
                       F.col("url_b").alias("url_idx"),
                       "est_sim", "jaccard", "is_dup")

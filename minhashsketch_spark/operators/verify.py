@@ -114,18 +114,25 @@ def shingle_sets_for(docs: DataFrame, urls: DataFrame, cfg: PipelineConfig,
 
 def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
                    cfg: PipelineConfig, url_col: str = "url",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   checkpoint_sigs: bool = True) -> DataFrame:
     """Full verification: est_sim (reference estimator) + exact jaccard.
 
     Output: (url_a, url_b, est_sim, jaccard, is_dup) where is_dup applies
     ``cfg.threshold`` to the *reference estimator* — the semantics the
     recall metric is defined against (BASELINE.md).
+
+    ``checkpoint_sigs=False`` when the signature frame is already
+    materialized (parquet/bucketed-table-backed, or checkpointed by the
+    caller): localCheckpoint'ing e.g. a full index's signatures here would
+    copy the whole index into executor storage.
     """
     # both stages consume ``signatures``/``sets_df`` twice (a-side, b-side);
     # EAGER localCheckpoint so the UDFs run exactly once — a lazy persist
     # lets the two join sides race to compute the same partitions. In the
     # full pipeline these arrive as parquet-checkpointed tables anyway.
-    signatures = signatures.localCheckpoint()
+    if checkpoint_sigs:
+        signatures = signatures.localCheckpoint()
     pairs = pairs.localCheckpoint()
     est = minhash_estimate(pairs, signatures, cfg)
     all_urls = (pairs.select(F.col("url_a").alias("url"))

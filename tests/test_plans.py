@@ -152,3 +152,47 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sig_index")
         spark.sql("DROP TABLE IF EXISTS t_new_batch")
+
+
+def test_band_index_candidate_join_never_shuffles_index_side(spark, tmp_path):
+    """End-to-end plan of the production incremental path
+    (build_band_index -> cross_candidate_pairs_indexed): both index-side
+    scans (_bands on jk, _dim on band_key) must read Bucketed with no
+    Exchange above them — the only shuffles in the daily run move the
+    SMALL batch (by band_key, then jk) plus the final pair dedup. At
+    10^12 index rows this is the difference between a daily index shuffle
+    and none."""
+    from minhashsketch_spark.operators.cross_dedup import (
+        build_band_index, cross_candidate_pairs_indexed)
+    from minhashsketch_spark.operators.signatures import compute_signatures
+    from minhashsketch_spark.sources.corpus import corpus_dataframe
+
+    cfg = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=1,
+                         threshold=0.7, bucket_cap=16)
+    docs, _ = corpus_dataframe(spark, n_docs=80, seed=3)
+    par = F.pmod(F.xxhash64("url"), F.lit(2))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        build_band_index(spark, docs.filter(par == 0), cfg, "t_bidx",
+                         n_buckets=8, path_root=str(tmp_path / "bidx"))
+        sig_n = compute_signatures(docs.filter(par == 1), cfg).localCheckpoint()
+        plan = _plan(cross_candidate_pairs_indexed(spark, sig_n, "t_bidx"))
+        # both catalog scans stay bucketed (join key == bucket key exactly;
+        # a wider join key set makes the planner fall back to a shuffle)
+        assert plan.count("Bucketed: true") == 2, plan
+        assert "disabled by query planner" not in plan, plan
+        # index side contributes ZERO exchanges: the whole plan carries at
+        # most 3 (new side by band_key, new side by jk, final pair dedup) —
+        # formatted plans print each node twice (tree + detail), so count
+        # the "(n) Exchange" detail headers
+        import re
+
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchanges <= 3, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for s in ("sigs", "bands", "dim"):
+            spark.sql(f"DROP TABLE IF EXISTS t_bidx_{s}")

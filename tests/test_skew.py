@@ -114,3 +114,43 @@ def test_cross_corpus_replication_keeps_all_pairs_through_hot_bucket(spark):
     ver = cross_corpus_dup_pairs(new, idx, cfg)
     dups = ver.filter("is_dup").select("url_new", "url_idx").distinct()
     assert dups.count() == n_new * n_idx  # nothing lost to salting
+
+
+def test_indexed_cross_corpus_equals_adhoc_through_hot_bucket(spark, tmp_path):
+    """The persisted-bucketed-index path (build_band_index +
+    cross_corpus_dup_pairs_indexed) must produce exactly the ad-hoc path's
+    verified pairs, including through an index-side mega-bucket (salts are
+    stored in the index table and folded into the bucketed join key)."""
+    from minhashsketch_spark.operators.cross_dedup import (
+        build_band_index,
+        cross_corpus_dup_pairs,
+        cross_corpus_dup_pairs_indexed,
+    )
+
+    n_idx, n_new = 600, 5
+    text = "the same boilerplate page body across the whole crawl"
+    idx = spark.range(n_idx).select(
+        F.format_string("idx-%06d", F.col("id")).alias("url"),
+        (F.lit(text)).alias("text"))
+    # a few unique new docs too, so the candidate set isn't all-dups
+    new = spark.range(n_new).select(
+        F.format_string("new-%06d", F.col("id")).alias("url"),
+        F.when(F.col("id") < 3, F.lit(text))
+        .otherwise(F.concat(F.lit("unique page body number "),
+                            F.col("id").cast("string"),
+                            F.lit(" with its own distinct words"))).alias("text"))
+    cfg = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=11, threshold=0.7,
+                         bucket_cap=64)  # 600 docs / cap 64 -> n_salt = 10
+    key = lambda r: (r["url_new"], r["url_idx"], round(r["est_sim"], 9),
+                     round(r["jaccard"], 9), r["is_dup"])
+    adhoc = sorted(key(r) for r in cross_corpus_dup_pairs(new, idx, cfg).collect())
+    try:
+        build_band_index(spark, idx, cfg, "t_xidx", n_buckets=8,
+                         path_root=str(tmp_path / "xidx"))
+        indexed = sorted(key(r) for r in cross_corpus_dup_pairs_indexed(
+            spark, new, "t_xidx", idx, cfg).collect())
+    finally:
+        for s in ("sigs", "bands", "dim"):
+            spark.sql(f"DROP TABLE IF EXISTS t_xidx_{s}")
+    assert len(adhoc) == len(indexed) > 0
+    assert adhoc == indexed
