@@ -1192,6 +1192,121 @@ def _embedding_near_dup_oracle(n_tables: int = 8, n_planes: int = 5,
     """
 
 
+_M64 = (1 << 64) - 1
+
+
+def _spark_xxhash64_long(value: int, seed: int = 42) -> int:
+    """Spark's xxhash64 over a single BIGINT column (XXH64 hashLong with the
+    expression's default seed 42 — the standard public XXH64 8-byte-input
+    path). Returned as a SIGNED 64-bit int, matching Spark's bigint result.
+    Used to replicate the IVF codebook's deterministic hash-filter sample
+    (similarity.py::fit_ivf_centroids) at oracle-build time."""
+    p1, p2, p3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    p4, p5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    h = (seed + p5 + 8) & _M64
+    h ^= (rotl((value & _M64) * p2 & _M64, 31) * p1) & _M64
+    h = (rotl(h, 27) * p1 + p4) & _M64
+    h ^= h >> 33
+    h = (h * p2) & _M64
+    h ^= h >> 29
+    h = (h * p3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _ivf_centroid_replica(sf_dir: str, n_centroids: int = 16, seed: int = 7,
+                          sample_mod: int = 8, sample_n: int = 4096):
+    """Reproduce fit_ivf_centroids' codebook WITHOUT Spark: same
+    deterministic hash-filter sample (xxhash64(vec_id) pmod sample_mod == 0,
+    ordered by vec_id, first sample_n) read via pyarrow, then the SAME
+    NumPy k-means (similarity.kmeans_fit — literally the shared function).
+    float32 -> float64 widening is exact on both sides, so the centroids
+    are bit-identical to what the Spark query fits."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from minhashsketch_spark.operators.similarity import kmeans_fit
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    picked = sorted(
+        (i, e) for i, e in zip(ids, embs)
+        if _spark_xxhash64_long(int(i)) % sample_mod == 0)[:sample_n]
+    if len(picked) < n_centroids:  # tiny-corpus fallback, as in the operator
+        picked = sorted(zip(ids, embs))[:sample_n]
+    x = np.stack([np.asarray(e, dtype=np.float64) for _, e in picked])
+    return kmeans_fit(x, n_centroids, seed=seed)
+
+
+def _embedding_ivf_topk_oracle(n_centroids: int = 16, nprobe: int = 6,
+                               k: int = 10, seed: int = 7,
+                               sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replica of similarity.py::ivf_cosine_topk — the data-fitted
+    codebook is reproduced deterministically at oracle-build time
+    (_ivf_centroid_replica) and embedded as literal DOUBLE[] VALUES, the
+    _plane_values pattern. Cell assignment is argmax of dot(embedding,
+    centroid) — the operator normalizes the vector first, but positive
+    scaling never changes the argmax, so the division (whose libm rounding
+    could differ between engines) stays OUT of the oracle boundary; an
+    argmax flip needs two centroid dots within float-ulp of each other
+    (same accepted ~1e-13 risk class as the hyperplane sign threshold).
+    NOTE: the replica reads the sf0.01 table — the scale the driver runs
+    oracles at; at another sf the codebooks (and so the results) differ."""
+    cents = _ivf_centroid_replica(sf_dir, n_centroids, seed=seed)
+    values = ",\n              ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(v)) for v in cents[i]))
+        for i in range(len(cents)))
+    return f"""
+        WITH cents(ci, c) AS (
+          VALUES {values}
+        ),
+        cell_scores AS (
+          SELECT e.vec_id, ct.ci,
+                 list_dot_product(e.embedding::DOUBLE[], ct.c) AS dot
+          FROM embeddings e, cents ct
+        ),
+        corpus_cells AS (
+          SELECT vec_id AS neighbor_id, ci AS cell FROM (
+            SELECT vec_id, ci, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY dot DESC, ci ASC) AS rn
+            FROM cell_scores) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, ci AS cell FROM (
+            SELECT vec_id, ci, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY dot DESC, ci ASC) AS rn
+            FROM cell_scores WHERE vec_id < 5) WHERE rn <= {nprobe}
+        ),
+        cand AS (
+          SELECT DISTINCT p.query_id, cc.neighbor_id
+          FROM probes p JOIN corpus_cells cc USING (cell)
+          WHERE cc.neighbor_id <> p.query_id
+        ),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]), 6) AS cosine
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings e ON e.vec_id = c.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
 _CROSS_CORPUS_ORACLE = f"""
     WITH {_near_dup_cte()}
     SELECT printf('doc-%08d', CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) AS url_new,
@@ -1285,6 +1400,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "embedding_topk_lsh": _embedding_lsh_topk_oracle(n_planes=8, seed=7, k=10),
+        "embedding_topk_ivf": _embedding_ivf_topk_oracle(n_centroids=16,
+                                                         nprobe=6, k=10, seed=7),
         "embedding_near_dup": _embedding_near_dup_oracle(n_tables=8, n_planes=5,
                                                          seed=7, threshold=0.4),
         "winnow_fingerprint": _winnow_oracle(k=8, w=16),

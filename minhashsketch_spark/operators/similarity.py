@@ -144,6 +144,25 @@ def hyperplane_bands(embeddings: DataFrame, n_tables: int = 16, n_planes: int = 
         gen, schema="vec_id bigint, tbl bigint, bucket bigint")
 
 
+def kmeans_fit(x: np.ndarray, n_centroids: int, n_iters: int = 10,
+               seed: int = 7) -> np.ndarray:
+    """Deterministic seeded spherical k-means on a sample matrix — pure
+    NumPy, shared by the Spark fit (fit_ivf_centroids) and the DuckDB
+    oracle builder (__spark_entry__), so both sides work from bit-identical
+    centroids given the same sample rows."""
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    c = x[rng.choice(x.shape[0], size=n_centroids, replace=False)]
+    for _ in range(n_iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                v = x[m].sum(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
 def fit_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
                       n_iters: int = 10, sample_n: int = 4096, seed: int = 7,
                       sample_mod: int = 8,
@@ -166,17 +185,7 @@ def fit_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
     if len(rows) < n_centroids:  # tiny corpus: fall back to the full scan
         rows = embeddings.orderBy(id_col).limit(sample_n).select(vec_col).collect()
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    c = x[rng.choice(x.shape[0], size=n_centroids, replace=False)]
-    for _ in range(n_iters):
-        assign = (x @ c.T).argmax(axis=1)
-        for j in range(n_centroids):
-            m = assign == j
-            if m.any():
-                v = x[m].sum(axis=0)
-                c[j] = v / max(np.linalg.norm(v), 1e-12)
-    return c
+    return kmeans_fit(x, n_centroids, n_iters, seed)
 
 
 def _ivf_cells(df: DataFrame, centroids: np.ndarray, nprobe: int,

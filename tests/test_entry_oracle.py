@@ -70,3 +70,32 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert df.columns == ["url_a", "url_b", "est_sim", "jaccard", "is_dup"]
+
+
+def test_spark_xxhash64_long_replica(spark):
+    """The IVF oracle's pure-Python xxhash64 replica must match Spark's
+    xxhash64 on BIGINTs exactly — the codebook sample selection depends on
+    it bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    ids = list(range(0, 500)) + [-1, -17, 2**62, -(2**62), 123456789012345]
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    got = {r["vec_id"]: r["h"]
+           for r in df.select("vec_id", F.xxhash64("vec_id").alias("h")).collect()}
+    for i in ids:
+        assert got[i] == entry_mod._spark_xxhash64_long(i), i
+
+
+def test_ivf_codebook_replica_is_bit_identical(spark):
+    """_ivf_centroid_replica (pyarrow + shared kmeans_fit) must reproduce
+    the Spark-side fit_ivf_centroids codebook bit-for-bit at the oracle's
+    sf — the only part of embedding_topk_ivf the SQL cannot recompute."""
+    import numpy as np
+
+    from minhashsketch_spark.operators.similarity import fit_ivf_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    spark_c = fit_ivf_centroids(emb, n_centroids=16, seed=7)
+    oracle_c = entry_mod._ivf_centroid_replica(SF_DIR, n_centroids=16, seed=7)
+    assert spark_c.shape == oracle_c.shape
+    assert np.array_equal(spark_c, oracle_c)
