@@ -10,6 +10,12 @@ MinHash+LSH lives in signatures.py/lsh.py (the flagship path).
 
 from __future__ import annotations
 
+from collections import Counter
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -107,21 +113,79 @@ SIMHASH_BITS = 60
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash over whitespace tokens (Charikar 2002): sum token-hash
-    sign vectors, take the sign per bit.
+    sign vectors, take the sign per bit. Default implementation: a
+    ZERO-SHUFFLE vectorized Arrow map.
 
-    Entirely JVM-side built-ins (whole-stage codegen — no Python in the hot
-    path): explode tokens, pre-aggregate ``(doc, token) -> count`` (map-side
-    partial agg collapses repeats before the shuffle), hash each *distinct*
-    token per doc once with the first 15 hex chars of md5 (60 bits —
-    portable to the DuckDB oracle), then one hash-agg per doc with 60
+    SimHash is a per-document function, so the right 100 TB plan is a
+    narrow map — no (doc, token) shuffle, no 60-column hash-agg (whose
+    janino compile alone costs seconds cold; r3 bench). Per Arrow batch:
+    tokenize (exact Java-regex \\s+ semantics, split keeping leading AND
+    trailing empty fields — Spark's split limit=-1), count distinct tokens
+    (web text repeats heavily), md5 each distinct token once through a
+    batch-level vocab cache, then one (n_distinct x 60) sign-matrix
+    matvec with the counts. Bit-identical to ``simhash_jvm`` (the
+    SQL-portable spelling the DuckDB oracle mirrors) — pinned by pytest
+    on adversarial whitespace fixtures and the test corpus.
+    """
+    import hashlib
+    import re
+
+    from ..partitioning import ensure_parallelism
+
+    # Java \s exactly: [ \t\n\x0B\f\r] — Python's \s would also match
+    # Unicode whitespace (\xa0 etc.) and silently diverge from the JVM path
+    splitter = re.compile(r"[ \t\n\x0B\f\r]+")
+    bit_w = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ids, out = [], []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                t = (text or "").strip(" ")  # Spark trim(): spaces only
+                if not t:
+                    continue  # no row, as in the agg path
+                counts = Counter(splitter.split(t))
+                uniq = list(counts)
+                hs = np.empty(len(uniq), dtype=np.uint64)
+                for i, tok in enumerate(uniq):
+                    h = cache.get(tok)
+                    if h is None:
+                        h = int(hashlib.md5(
+                            tok.encode("utf-8", "surrogatepass")).hexdigest()[:15], 16)
+                        cache[tok] = h
+                    hs[i] = h
+                signs = ((hs[:, None] >> bit_w[None, :]) & 1).astype(np.int64) * 2 - 1
+                votes = np.fromiter(counts.values(), dtype=np.int64,
+                                    count=len(uniq)) @ signs
+                sh = int(((votes > 0).astype(np.uint64) << bit_w).sum())
+                ids.append(doc_id)
+                out.append(sh)  # < 2**60, fits the signed bigint
+            yield pd.DataFrame({"doc_id": ids,
+                                "simhash": np.asarray(out, dtype=np.int64)})
+
+    id_type = dict(zip(docs.columns,
+                       [f.dataType.simpleString() for f in docs.schema.fields]))[id_col]
+    return ensure_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        gen, schema=f"doc_id {id_type}, simhash bigint")
+
+
+def simhash_jvm(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The SQL-portable spelling of ``simhash`` — entirely JVM-side
+    built-ins, mirrored expression-for-expression by the DuckDB oracle
+    (__spark_entry__._simhash_oracle): explode tokens, pre-aggregate
+    ``(doc, token) -> count`` (map-side partial agg collapses repeats
+    before the shuffle), hash each *distinct* token per doc once with the
+    first 15 hex chars of md5 (60 bits), then one hash-agg per doc with 60
     count-weighted conditional sums. A token with count n votes ±n per bit
     — identical by construction to the one-row-per-occurrence vote
     (Charikar's count-weighted form). Docs with no tokens produce no row.
 
-    Scale: two shuffles — (doc, token) then doc — but both over counts, not
-    occurrences; md5 + the 60 sums run once per distinct token per doc
-    (web text repeats tokens heavily, so this is the cheap side of the
-    trade). The 60-column agg state is 480 bytes/doc.
+    Kept as the parity anchor: the Arrow implementation must equal this
+    bit-for-bit (pytest), and this must equal the oracle SQL. Costs two
+    shuffles + a 60-aggregate codegen compile, which is why it is no
+    longer the default.
     """
     from ..partitioning import ensure_parallelism
 
@@ -161,29 +225,31 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     quadratic scan. Recall is exactly 1 for max_hamming <= 3; larger radii
     need more blocks (pigeonhole: blocks > max_hamming).
     """
-    sim = sim.localCheckpoint()  # scanned once per 15-bit block (eager)
-    blocks = []
-    for blk in range(4):
-        shift = blk * 15
-        blocks.append(
-            sim.select(
-                "doc_id", "simhash",
+    sim = sim.localCheckpoint()  # self-join: materialize the input once
+    # ONE narrow explode builds all 4 block keys per row — a 4-way
+    # union-of-selects multiplies the scan's partitions by 4 per join side
+    # (measured 128 near-empty tasks at sf0.1, pure scheduling overhead)
+    keyed = sim.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
                 F.lit(blk).alias("blk"),
-                F.shiftrightunsigned(F.col("simhash"), shift).bitwiseAND(F.lit(0x7FFF)).alias("key"),
-            )
-        )
-    keyed = blocks[0]
-    for b in blocks[1:]:
-        keyed = keyed.union(b)
+                F.shiftrightunsigned(F.col("simhash"), blk * 15)
+                .bitwiseAND(F.lit(0x7FFF)).alias("key"))
+            for blk in range(4)])).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.blk").alias("blk"),
+             F.col("bk.key").alias("key"))
     a = keyed.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "key")
     b = keyed.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "key")
+    # the exact popcount filter runs BEFORE the pair dedup: it's a cheap
+    # JVM expression on the join output, and it shrinks the dedup shuffle
+    # to the true near-pairs only
     pairs = (
         a.join(b, ["blk", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs

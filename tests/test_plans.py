@@ -66,12 +66,29 @@ def test_minhash_estimate_is_jvm_side(spark):
 
 def test_text_operators_are_jvm_side(spark):
     from minhashsketch_spark.operators import text as TX
-    from minhashsketch_spark.operators.dedup import simhash
+    from minhashsketch_spark.operators.dedup import simhash_jvm
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     for df in (TX.token_stats(docs), TX.quality_score(docs),
-               TX.language_id(docs), TX.md5_fingerprint(docs), simhash(docs)):
+               TX.language_id(docs), TX.md5_fingerprint(docs),
+               simhash_jvm(docs)):
         assert "EvalPython" not in _plan(df)
+
+
+def test_simhash_default_is_zero_shuffle(spark):
+    """The default simhash is a per-document narrow map: its plan must
+    carry NO key shuffle (the JVM spelling pays two hash-partitioned
+    shuffles + a 60-aggregate codegen compile; the Arrow map pays neither).
+    The only Exchange allowed is ensure_parallelism's ROUND-ROBIN
+    repartition — the single-row-group testdata guard, absent on a real
+    multi-file table."""
+    from minhashsketch_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(simhash(docs))
+    assert "hashpartitioning" not in plan, plan
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "text" in scan[0] and "lang" not in scan[0]
 
 
 def test_lsh_candidates_no_cartesian(spark):

@@ -52,3 +52,35 @@ def test_extract_text_byte_identical_on_real_html(spark):
     out = extract_text(tricky).collect()[0]["extracted_text"]
     # single-pass unescape: &amp;lt; -> &lt; (not <), standard behavior
     assert out == 'a &lt; b "q" \'s\' 5 < 6'
+
+
+def test_simhash_arrow_equals_jvm_spelling(spark):
+    """The zero-shuffle Arrow simhash must be BIT-IDENTICAL to the
+    SQL-portable JVM spelling (which the DuckDB oracle mirrors), including
+    on adversarial whitespace: Spark's trim() strips spaces only, split()
+    keeps leading AND trailing empty fields (limit=-1), and Java \\s is
+    ASCII-only (U+00A0 is a token character, not a separator)."""
+    from minhashsketch_spark.operators.dedup import simhash, simhash_jvm
+
+    fixtures = [
+        (1, "plain tokens repeated tokens tokens"),
+        (2, "\tleading tab"),            # leading separator -> empty token
+        (3, "trailing tab\t"),           # trailing separator -> empty token
+        (4, "  only  spaces  between  "),
+        (5, "\t\t"),                     # all-separator, trim keeps it
+        (6, "nbsp is-not-a-separator"),
+        (7, ""),                         # no row
+        (8, "    "),                     # trim -> empty, no row
+        (9, "one"),
+        (10, "mixed\nnewline\rand\fform\x0bfeeds"),
+    ]
+    docs = spark.createDataFrame(fixtures, "doc_id bigint, text string")
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_jvm(docs).collect()}
+    assert a == b
+    assert 7 not in a and 8 not in a
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ca = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    cb = {r["doc_id"]: r["simhash"] for r in simhash_jvm(corpus).collect()}
+    assert ca == cb and len(ca) > 0
