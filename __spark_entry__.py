@@ -699,8 +699,14 @@ def _q_html_extract(spark, sf_dir):
     from minhashsketch_spark.operators.extract import extract_text
 
     docs = _docs(spark, sf_dir)
+    # entity gauntlet appended inside the body: curly quote (dec), emoji
+    # (hex, 4-byte), nbsp, capital-X hex, amp-guard (&amp;#65; must stay a
+    # literal &#65;), an out-of-range ref (left literal), plus the five
+    # named entities — the oracle re-runs the identical wrap + extract
     html = F.concat(F.lit(b"<html><body>"), F.encode("text", "utf-8"),
-                    F.lit(b"</body></html>"))
+                    F.lit(b"</body><p>&#8217;s &#x1F600; a&#xA0;b &#X41; "
+                          b"&amp;#65; &#1114112; &lt;x&gt;&quot;&#39;"
+                          b"</p></html>"))
     wrapped = docs.select("doc_id", html.alias("html"))
     ext = extract_text(wrapped, html_col="html", out_col="extracted_text")
     return ext.select(
@@ -1307,6 +1313,58 @@ def _embedding_ivf_topk_oracle(n_centroids: int = 16, nprobe: int = 6,
     """
 
 
+def _html_extract_oracle() -> str:
+    """DuckDB replica of operators/extract.py::extract_text over the same
+    wrapped fixture: tag strip, then NUMERIC character references (marker
+    chr(1)/chr(2) bracketing -> split -> per-element decode; DuckDB's
+    chr() is code-point-correct so no byte building needed), then the five
+    named entities with &amp; last — the exact single-pass order the
+    operator uses."""
+    suffix = ("</body><p>&#8217;s &#x1F600; a&#xA0;b &#X41; "
+              "&amp;#65; &#1114112; &lt;x&gt;&quot;&#39;</p></html>")
+    ent = "split_part(x, chr(2), 1)"
+    rest = f"substr(x, length({ent}) + 2)"
+    body = f"substr({ent}, 3, length({ent}) - 3)"
+    is_hex = f"substr({body}, 1, 1) IN ('x', 'X')"
+    cp = (f"(CASE WHEN {is_hex} THEN ('0x' || substr({body}, 2))::BIGINT "
+          f"ELSE ({body})::BIGINT END)")
+    valid = f"({cp} >= 1 AND {cp} <= 1114111 AND NOT ({cp} >= 55296 AND {cp} <= 57343))"
+    decode_elem = (f"CASE WHEN strpos(x, chr(2)) = 0 THEN x "
+                   f"ELSE (CASE WHEN {valid} THEN chr({cp}::INT) "
+                   f"ELSE {ent} END) || {rest} END")
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+                 decode(encode('<html><body>') || encode(text)
+                        || encode('{suffix}')) AS html
+          FROM documents
+        ),
+        stripped AS (
+          SELECT doc_id, regexp_replace(html, '<[^>]*>', '', 'g') AS s
+          FROM h
+        ),
+        numdec AS (
+          SELECT doc_id,
+                 array_to_string(list_transform(
+                   str_split(regexp_replace(s,
+                     '(&#([0-9]{{1,7}}|[xX][0-9a-fA-F]{{1,6}});)',
+                     chr(1) || '\\1' || chr(2), 'g'), chr(1)),
+                   x -> {decode_elem}), '') AS s
+          FROM stripped
+        ),
+        e AS (
+          SELECT doc_id,
+                 replace(replace(replace(replace(replace(s,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', chr(39)), '&amp;', '&') AS extracted_text
+          FROM numdec
+        )
+        SELECT doc_id, md5(extracted_text) AS extracted_md5,
+               length(extracted_text) AS n_chars
+        FROM e
+    """
+
+
 _CROSS_CORPUS_ORACLE = f"""
     WITH {_near_dup_cte()}
     SELECT printf('doc-%08d', CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) AS url_new,
@@ -1320,27 +1378,6 @@ _CROSS_CORPUS_ORACLE = f"""
 def oracle_sql() -> dict[str, str]:
     return {
         "curated_corpus": _CURATED_CORPUS_ORACLE,
-        # same wrap + strip + unescape recomputed in DuckDB over the blob
-        # (decode(encode(...)) round-trips utf-8; chr(39) = single quote)
-        "html_extract": r"""
-            WITH h AS (
-              SELECT doc_id,
-                     decode(encode('<html><body>') || encode(text)
-                            || encode('</body></html>')) AS html
-              FROM documents
-            ),
-            e AS (
-              SELECT doc_id,
-                     replace(replace(replace(replace(replace(
-                       regexp_replace(html, '<[^>]*>', '', 'g'),
-                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                       '&#39;', chr(39)), '&amp;', '&') AS extracted_text
-              FROM h
-            )
-            SELECT doc_id, md5(extracted_text) AS extracted_md5,
-                   length(extracted_text) AS n_chars
-            FROM e
-        """,
         "repetition_stats": r"""
             WITH t AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
@@ -1384,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_corpus_dups": _CROSS_CORPUS_ORACLE,
         # identical semantics: the bucketed index layout is physical only
         "cross_corpus_dups_indexed": _CROSS_CORPUS_ORACLE,
+        "html_extract": _html_extract_oracle(),
         # md5 groups carry identical text, so length is constant per group
         "streaming_dedup": """
             WITH d AS (

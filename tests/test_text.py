@@ -54,6 +54,32 @@ def test_extract_text_byte_identical_on_real_html(spark):
     assert out == 'a &lt; b "q" \'s\' 5 < 6'
 
 
+def test_extract_text_numeric_character_references(spark):
+    """Numeric refs (decimal, lower/upper hex) across all four UTF-8 byte
+    widths decode exactly; invalid code points (0, surrogates, > U+10FFFF,
+    8+ digits) stay literal; &amp;#65; keeps single-pass semantics."""
+    from minhashsketch_spark.operators.extract import extract_text
+
+    cases = [
+        (1, "<p>&#65;&#x41;&#X41;</p>", "AAA"),
+        (2, "two-byte: &#233; &#xE9;", "two-byte: é é"),
+        (3, "three-byte: &#8217; &#x2019;", "three-byte: ’ ’"),
+        (4, "four-byte: &#128512; &#x1F600;", "four-byte: \U0001F600 \U0001F600"),
+        (5, "max: &#x10FFFF; min: &#1;", "max: \U0010FFFF min: \x01"),
+        (6, "invalid: &#0; &#xD800; &#xDFFF; &#1114112; &#99999999;",
+            "invalid: &#0; &#xD800; &#xDFFF; &#1114112; &#99999999;"),
+        (7, "guard: &amp;#65; and real &#65;", "guard: &#65; and real A"),
+        (8, "adjacent&#65;&#66;refs", "adjacentABrefs"),
+        (9, "nbsp a&#xA0;b", "nbsp a\xa0b"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, h.encode()) for i, h, _ in cases], "doc_id bigint, html binary")
+    got = {r["doc_id"]: r["extracted_text"]
+           for r in extract_text(docs).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_simhash_arrow_equals_jvm_spelling(spark):
     """The zero-shuffle Arrow simhash must be BIT-IDENTICAL to the
     SQL-portable JVM spelling (which the DuckDB oracle mirrors), including
