@@ -85,13 +85,19 @@ def run(corpus_path: str, cpus: int) -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    cfg = PipelineConfig(k=9, m=1, t=128, bands=32, rows=4, seed=42, threshold=0.7)
+    # production constructor: the 32x4 layout is planned from the S-curve
+    cfg = PipelineConfig.from_threshold(k=9, m=1, t=128, threshold=0.7, seed=42)
     docs = spark.read.parquet(corpus_path).select("url", "text") \
         .repartition(16 * int(cpus)).cache()
     n_docs = docs.count()  # materialize before the clock starts
     text_bytes = docs.selectExpr("sum(length(text)) b").collect()[0]["b"]
     sig_path = f"{SIGS}.{cpus}"
 
+    def loadavg():
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+
+    load_start = loadavg()
     t0 = time.time()
     compute_signatures(docs, cfg).write.mode("overwrite").parquet(sig_path)
     sigs = spark.read.parquet(sig_path)  # stage checkpoint, as in run_pipeline
@@ -103,6 +109,7 @@ def run(corpus_path: str, cpus: int) -> None:
         "cpus": int(cpus), "n_docs": n_docs, "text_mb": round(text_bytes / 1e6, 1),
         "seconds": round(dt, 2), "docs_per_sec": round(n_docs / dt, 1),
         "mb_per_sec": round(text_bytes / 1e6 / dt, 2), "dup_pairs": n_dup,
+        "loadavg_start": load_start, "loadavg_end": loadavg(),
     }))
     spark.stop()
 
