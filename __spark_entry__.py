@@ -747,6 +747,25 @@ def _q_cross_corpus_dups(spark, sf_dir):
             .select("url_new", "url_idx", F.round("jaccard", 6).alias("jaccard")))
 
 
+def _q_line_dedup(spark, sf_dir):
+    """CCNet/Gopher-style line-level boilerplate removal. Testdata docs are
+    single-line, so the fixture assembles a crawl-shaped page per doc
+    (shared header/footer -> df=all, dropped; CATEGORY doc_id%7 -> df~71,
+    dropped at min_df=5; body + ID line -> df=1, kept in order) — the
+    oracle builds the identical page in SQL."""
+    from minhashsketch_spark.operators.dedup_corpus import line_dedup_stats
+
+    docs = _docs(spark, sf_dir)
+    page = F.concat_ws(
+        "\n",
+        F.lit("SHARED HEADER"),
+        F.concat(F.lit("CATEGORY "), (F.col("doc_id") % 7).cast("string")),
+        F.col("text"),
+        F.concat(F.lit("ID "), F.col("doc_id").cast("string")),
+        F.lit("SHARED FOOTER"))
+    return line_dedup_stats(docs.select("doc_id", page.alias("text")), min_df=5)
+
+
 def _q_cross_corpus_dups_indexed(spark, sf_dir):
     """The PRODUCTION incremental shape: the index side persisted once as
     bucketed catalog tables (build_band_index — signatures, salted bands on
@@ -909,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "cross_corpus_dups": _q_cross_corpus_dups,
         "cross_corpus_dups_indexed": _q_cross_corpus_dups_indexed,
+        "line_dedup": _q_line_dedup,
         "curated_corpus": _q_curated_corpus,
     }
 
@@ -1430,6 +1450,39 @@ def oracle_sql() -> dict[str, str]:
         # identical semantics: the bucketed index layout is physical only
         "cross_corpus_dups_indexed": _CROSS_CORPUS_ORACLE,
         "html_extract": _html_extract_oracle(),
+        # line-level dedup over the crawl-shaped fixture page; the oracle
+        # counts df by raw line string where Spark uses xxhash64 keys —
+        # identical absent a 64-bit collision (documented add-only risk)
+        "line_dedup": """
+            WITH d2 AS (
+              SELECT doc_id,
+                     'SHARED HEADER' || chr(10)
+                     || 'CATEGORY ' || (doc_id % 7)::VARCHAR || chr(10)
+                     || text || chr(10)
+                     || 'ID ' || doc_id::VARCHAR || chr(10)
+                     || 'SHARED FOOTER' AS text
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id, i, string_split(text, chr(10))[i] AS line
+              FROM d2,
+                   unnest(range(1, len(string_split(text, chr(10))) + 1)) AS t(i)
+            ),
+            dfq AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+            kept AS (SELECT l.doc_id, l.i, l.line
+                     FROM l JOIN dfq USING (line) WHERE dfq.df < 5),
+            agg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY i) AS cleaned
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d2.doc_id,
+                   len(string_split(d2.text, chr(10))) AS n_lines,
+                   coalesce(agg.n_kept, 0) AS n_kept,
+                   md5(coalesce(agg.cleaned, '')) AS cleaned_md5,
+                   length(coalesce(agg.cleaned, '')) AS cleaned_len
+            FROM d2 LEFT JOIN agg USING (doc_id)
+        """,
         # md5 groups carry identical text, so length is constant per group
         "streaming_dedup": """
             WITH d AS (

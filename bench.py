@@ -52,6 +52,7 @@ HEADLINE = [
     "html_extract",
     "exact_dedup",
     "exact_dedup_corpus",
+    "line_dedup",
     "near_dedup_corpus",
     "ngram_jaccard",
     "simhash_pairs",

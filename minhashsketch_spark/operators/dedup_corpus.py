@@ -37,3 +37,62 @@ def near_dedup_corpus(docs: DataFrame, clusters: DataFrame,
     """
     losers = clusters.filter(F.col(url_col) != F.col("cluster_id")).select(url_col)
     return docs.join(losers, on=url_col, how="left_anti")
+
+
+def line_dedup_stats(docs: DataFrame, min_df: int = 2,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """CCNet/Gopher-style LINE-level dedup: drop every line that appears in
+    >= ``min_df`` distinct documents (headers, nav bars, cookie banners —
+    crawl boilerplate repeats across pages while body text does not), keep
+    the rest in original order.
+
+    Returns (doc_id, n_lines, n_kept, cleaned_md5, cleaned_len): counts and
+    a fingerprint of the cleaned text rather than the text itself — callers
+    reconstructing the corpus join the kept-lines aggregation back to the
+    table; the stats form is what quality dashboards and the oracle check.
+
+    Scale shape: posexplode lines -> per-line document frequency over an
+    8-byte xxhash64 key (lines can be long; the df join must shuffle 8-byte
+    keys, not raw strings — hash collisions merge two distinct lines'
+    counts with P ~ n^2/2^64, which can only over-drop a single boilerplate
+    -lookalike line) -> broadcast-or-SMJ join of the boilerplate key set ->
+    per-doc ordered reassembly via array_sort over (pos, line) structs.
+    Two shuffles (line-df agg, per-doc agg); both AQE-coalesced.
+
+    Empty documents have one empty line ([""]) — if "" is boilerplate
+    (min_df docs are empty/blank-lined) those lines drop like any other;
+    a doc whose every line drops yields the empty string (md5 of ""), the
+    same convention the DuckDB oracle's spine join uses.
+    """
+    from ..partitioning import ensure_parallelism
+
+    lines = (
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+        .withColumn("lh", F.xxhash64("line"))
+    )
+    # document frequency per distinct line (count each doc once)
+    line_df = (lines.select(id_col, "lh").distinct()
+               .groupBy("lh").agg(F.count("*").alias("df")))
+    boiler = line_df.filter(F.col("df") >= min_df).select("lh")
+    kept = lines.join(boiler, "lh", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"]), "\n").alias("cleaned"),
+    )
+    spine = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"))
+    return (
+        spine.join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+            F.length(F.coalesce("cleaned", F.lit(""))).alias("cleaned_len"),
+        )
+    )

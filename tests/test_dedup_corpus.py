@@ -34,3 +34,31 @@ def test_near_dedup_corpus_invariants(spark):
     orig = {r["url"]: r["text"] for r in docs_df.select("url", "text").collect()}
     for r in kept.select("url", "text").collect():
         assert orig[r["url"]] == r["text"]
+
+
+def test_line_dedup_stats_edges(spark):
+    """Line-level dedup: boilerplate lines (df >= min_df) drop from EVERY
+    document, order of kept lines is preserved, all-boilerplate and empty
+    docs yield the empty cleaned text."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from minhashsketch_spark.operators.dedup_corpus import line_dedup_stats
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    docs = spark.createDataFrame([
+        (1, "HEADER\nunique one\nFOOTER"),
+        (2, "HEADER\nunique two a\nunique two b\nFOOTER"),
+        (3, "HEADER\nFOOTER"),          # all lines are boilerplate
+        (4, ""),                         # one empty line, df=1 -> kept
+        (5, "z last\na first"),          # order: original, not sorted
+    ], "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in line_dedup_stats(docs, min_df=2).collect()}
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 1)
+    assert got[1]["cleaned_md5"] == md5("unique one")
+    assert got[2]["cleaned_md5"] == md5("unique two a\nunique two b")
+    assert (got[3]["n_kept"], got[3]["cleaned_md5"]) == (0, md5(""))
+    assert (got[4]["n_lines"], got[4]["n_kept"]) == (1, 1)
+    assert got[4]["cleaned_md5"] == md5("")  # the kept line IS ""
+    assert got[5]["cleaned_md5"] == md5("z last\na first")
