@@ -766,6 +766,28 @@ def _q_line_dedup(spark, sf_dir):
     return line_dedup_stats(docs.select("doc_id", page.alias("text")), min_df=5)
 
 
+def _q_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (the crawl pipeline's step
+    zero). Testdata has no url column, so the fixture fabricates messy
+    variants deterministically: docs 2k/2k+1 point at the same page
+    through different spellings (case, default port, empty query,
+    fragment), every tenth doc is an un-parseable string — the oracle
+    fabricates and normalizes identically."""
+    from minhashsketch_spark.operators.urls import url_dedup_stats
+
+    docs = _docs(spark, sf_dir)
+    base = (F.col("doc_id") / 2).cast("bigint")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(F.col("doc_id") % 10 == 9,
+               F.format_string("no-scheme-page-%d#frag", F.col("doc_id")))
+        .when(v == 0, F.format_string("http://example.com/page/%d", base))
+        .when(v == 1, F.format_string("HTTP://Example.COM:80/page/%d", base))
+        .when(v == 2, F.format_string("https://Example.com:443/page/%d?", base))
+        .otherwise(F.format_string("https://example.com/page/%d#frag", base)))
+    return url_dedup_stats(docs.select(url.alias("url")))
+
+
 def _q_cross_corpus_dups_indexed(spark, sf_dir):
     """The PRODUCTION incremental shape: the index side persisted once as
     bucketed catalog tables (build_band_index — signatures, salted bands on
@@ -929,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_dups": _q_cross_corpus_dups,
         "cross_corpus_dups_indexed": _q_cross_corpus_dups_indexed,
         "line_dedup": _q_line_dedup,
+        "url_dedup": _q_url_dedup,
         "curated_corpus": _q_curated_corpus,
     }
 
@@ -1393,6 +1416,46 @@ def _html_extract_oracle() -> str:
     """
 
 
+# DuckDB replica of operators/urls.py::normalize_url_expr over the same
+# fabricated messy-variant fixture (see _q_url_dedup). Only string ops with
+# identical Spark/DuckDB semantics: split_part==substring_index, lower,
+# regexp_extract with an RE2-safe pattern, anchored regexp_replace.
+_URL_PAT_SQL = "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^#]*)$"
+_URL_DEDUP_ORACLE = f"""
+    WITH raw AS (
+      SELECT CASE
+        WHEN doc_id % 10 = 9 THEN printf('no-scheme-page-%d#frag', doc_id)
+        WHEN doc_id % 4 = 0 THEN printf('http://example.com/page/%d', doc_id // 2)
+        WHEN doc_id % 4 = 1 THEN printf('HTTP://Example.COM:80/page/%d', doc_id // 2)
+        WHEN doc_id % 4 = 2 THEN printf('https://Example.com:443/page/%d?', doc_id // 2)
+        ELSE printf('https://example.com/page/%d#frag', doc_id // 2)
+      END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT url, split_part(url, '#', 1) AS u FROM raw
+    ),
+    norm AS (
+      SELECT url,
+        CASE WHEN lower(regexp_extract(u, '{_URL_PAT_SQL}', 1)) = '' THEN u
+        ELSE
+          lower(regexp_extract(u, '{_URL_PAT_SQL}', 1)) || '://' ||
+          (CASE WHEN lower(regexp_extract(u, '{_URL_PAT_SQL}', 1)) = 'http'
+                THEN regexp_replace(lower(regexp_extract(u, '{_URL_PAT_SQL}', 2)), ':80$', '')
+                WHEN lower(regexp_extract(u, '{_URL_PAT_SQL}', 1)) = 'https'
+                THEN regexp_replace(lower(regexp_extract(u, '{_URL_PAT_SQL}', 2)), ':443$', '')
+                ELSE lower(regexp_extract(u, '{_URL_PAT_SQL}', 2)) END) ||
+          (CASE WHEN regexp_replace(regexp_extract(u, '{_URL_PAT_SQL}', 3), '\\?$', '') = ''
+                THEN '/'
+                ELSE regexp_replace(regexp_extract(u, '{_URL_PAT_SQL}', 3), '\\?$', '') END)
+        END AS norm_url
+      FROM parts
+    )
+    SELECT norm_url, count(*) AS n_variants, min(url) AS keeper_url
+    FROM norm GROUP BY norm_url
+"""
+
+
 _CROSS_CORPUS_ORACLE = f"""
     WITH {_near_dup_cte()}
     SELECT printf('doc-%08d', CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) AS url_new,
@@ -1450,6 +1513,7 @@ def oracle_sql() -> dict[str, str]:
         # identical semantics: the bucketed index layout is physical only
         "cross_corpus_dups_indexed": _CROSS_CORPUS_ORACLE,
         "html_extract": _html_extract_oracle(),
+        "url_dedup": _URL_DEDUP_ORACLE,
         # line-level dedup over the crawl-shaped fixture page; the oracle
         # counts df by raw line string where Spark uses xxhash64 keys —
         # identical absent a 64-bit collision (documented add-only risk)

@@ -53,6 +53,7 @@ HEADLINE = [
     "exact_dedup",
     "exact_dedup_corpus",
     "line_dedup",
+    "url_dedup",
     "near_dedup_corpus",
     "ngram_jaccard",
     "simhash_pairs",

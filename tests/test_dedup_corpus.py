@@ -62,3 +62,35 @@ def test_line_dedup_stats_edges(spark):
     assert (got[4]["n_lines"], got[4]["n_kept"]) == (1, 1)
     assert got[4]["cleaned_md5"] == md5("")  # the kept line IS ""
     assert got[5]["cleaned_md5"] == md5("z last\na first")
+
+
+def test_url_operators(spark):
+    """normalize_url_expr canonicalization matrix + blocklist anti-join."""
+    from pyspark.sql import functions as F
+
+    from minhashsketch_spark.operators.urls import (
+        filter_blocked_domains, host_expr, normalize_url_expr)
+
+    cases = [
+        (1, "HTTP://Example.COM:80/A/b?q=1#frag", "http://example.com/A/b?q=1"),
+        (2, "https://site.org:443/", "https://site.org/"),
+        (3, "https://site.org:8443/x", "https://site.org:8443/x"),  # non-default port kept
+        (4, "http://host.com", "http://host.com/"),                 # empty path -> /
+        (5, "http://host.com/p?", "http://host.com/p"),             # trailing empty query
+        (6, "not a url #fragment", "not a url "),                   # un-parseable: fragment strip only
+        (7, "ftp://Mixed.Case/KeepPathCase", "ftp://mixed.case/KeepPathCase"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "id bigint, url string")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", normalize_url_expr().alias("n")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    hosts = {r["id"]: r["h"] for r in
+             df.select("id", host_expr().alias("h")).collect()}
+    assert hosts[1] == "example.com" and hosts[3] == "site.org" and hosts[6] == ""
+
+    blocked = spark.createDataFrame([("Example.COM",), ("spam.net",)],
+                                    "domain string")
+    kept = {r["id"] for r in filter_blocked_domains(df, blocked).collect()}
+    assert kept == {2, 3, 4, 5, 6, 7}  # id 1 (example.com) dropped
