@@ -853,6 +853,52 @@ def _q_windowed_event_counts(spark, sf_dir):
     return batch_windowed_event_counts(ev, window="10 minutes")
 
 
+def _q_streaming_incremental_dedup(spark, sf_dir):
+    """Continuous-crawl near-dup: seed corpus (doc_id%3==0) becomes a
+    bucketed band index; two WARC drops (%3==1, %3==2) arrive as ordered
+    files and drain through foreachBatch with maxFilesPerTrigger=1, each
+    batch verified against seed + earlier deltas. Emitted pairs are
+    exactly the cross-GROUP dup pairs with the newer doc as url_new —
+    within-drop pairs are by design the compaction's job — so the oracle
+    is the all-pairs Jaccard CTE restricted to differing doc_id%3, the
+    same recall-1.0 argument as cross_corpus_dups."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from minhashsketch_spark.operators.cross_dedup import build_band_index
+    from minhashsketch_spark.streaming.incremental_dedup import (
+        streaming_incremental_dedup)
+
+    docs = _docs_as_urls(spark, sf_dir)
+    grp = F.substring("url", 5, 8).cast("bigint") % 3
+    seed = docs.filter(grp == 0).localCheckpoint()
+    tmp = tempfile.mkdtemp(prefix="mhs_incr_")
+    _entry_track_tmp(tmp)
+    build_band_index(spark, seed, CFG, "mhs_incr", n_buckets=32,
+                     path_root=f"{tmp}/idx")
+    # two drops as single ordered files with forced increasing mtimes
+    os.makedirs(f"{tmp}/in")
+    for i, g in enumerate((1, 2)):
+        (docs.filter(grp == g)
+         .select("url", F.lit(None).cast("timestamp").alias("warc_ts"),
+                 F.lit(None).cast("binary").alias("html"), "text",
+                 F.lit("en").alias("lang"))
+         .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/drop{i}"))
+        part = glob.glob(f"{tmp}/drop{i}/part-*.parquet")[0]
+        dst = f"{tmp}/in/drop{i}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1700000000 + 100 * i, 1700000000 + 100 * i))
+    q = streaming_incremental_dedup(
+        spark, f"{tmp}/in", "mhs_incr", seed, f"{tmp}/delta",
+        f"{tmp}/pairs", f"{tmp}/ckpt", CFG)
+    q.awaitTermination(600)
+    pairs = spark.read.parquet(f"{tmp}/pairs")
+    return (pairs.filter(F.col("jaccard") >= F.lit(CFG.threshold))
+            .select("url_new", "url_idx", F.round("jaccard", 6).alias("jaccard")))
+
+
 def _q_curated_corpus(spark, sf_dir):
     """The composed end product (curate.py): exact dedup -> MinHash+LSH+CC
     near-dedup at the flagship config -> quality/language filters; returns
@@ -952,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_dups_indexed": _q_cross_corpus_dups_indexed,
         "line_dedup": _q_line_dedup,
         "url_dedup": _q_url_dedup,
+        "streaming_incremental_dedup": _q_streaming_incremental_dedup,
         "curated_corpus": _q_curated_corpus,
     }
 
@@ -1510,6 +1557,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3
         """,
         "cross_corpus_dups": _CROSS_CORPUS_ORACLE,
+        # cross-GROUP dup pairs (groups = doc_id%3: seed 0, drops 1 and 2),
+        # newer group = url_new; within-group pairs excluded by design
+        "streaming_incremental_dedup": f"""
+            WITH {_near_dup_cte()}
+            SELECT printf('doc-%08d', CASE WHEN (id_a % 3) > (id_b % 3)
+                                           THEN id_a ELSE id_b END) AS url_new,
+                   printf('doc-%08d', CASE WHEN (id_a % 3) > (id_b % 3)
+                                           THEN id_b ELSE id_a END) AS url_idx,
+                   round(jacc, 6) AS jaccard
+            FROM dup_pairs
+            WHERE (id_a % 3) <> (id_b % 3)
+        """,
         # identical semantics: the bucketed index layout is physical only
         "cross_corpus_dups_indexed": _CROSS_CORPUS_ORACLE,
         "html_extract": _html_extract_oracle(),

@@ -77,6 +77,7 @@ HEADLINE = [
     "user_sessions",
     "windowed_event_counts",
     "streaming_dedup",
+    "streaming_incremental_dedup",
     "orders_rollup",
     # reference parity surface (clip FASTAs — constant size, not sf-scaled)
     "dna_similarity",

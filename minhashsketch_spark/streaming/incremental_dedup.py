@@ -1,0 +1,134 @@
+"""Streaming incremental NEAR-dup dedup: every micro-batch (a WARC drop)
+is checked against everything indexed before it — the production shape of
+continuous-crawl dedup, composing three pillars in one operator:
+
+* the **bucketed seed index** (operators.cross_dedup.build_band_index):
+  candidates vs the 10^12-doc base join with ZERO index-side Exchange;
+* a **delta** of post-seed batches, persisted per ``batch_id=`` partition
+  (docs + signatures + bands) with dynamic partition overwrite — the same
+  replay-idempotent layout as streaming.ingest: foreachBatch is
+  at-least-once, and a replayed batch overwrites exactly its own
+  partition. Candidates vs the delta reuse the salted ad-hoc band join
+  (the delta stays small between compactions; a periodic batch job folds
+  it into a rebuilt bucketed index, re-salting hot bands);
+* **verified pairs out**, also per-batch-partitioned (idempotent).
+
+Emitted per batch b: verified (url_new in b, url_idx indexed before b)
+pairs. WITHIN-batch pairs are deliberately not emitted — a drop's
+internal near-dups are the periodic compaction's job (and its exact dups
+are streaming.stateful_dedup's); this keeps each batch's output a pure
+function of (batch, prior index), which is what makes replay idempotent.
+A replayed batch's own half-written delta partition is excluded from its
+index view (``batch_id != b``), so replays can't pair a doc with itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..operators.cross_dedup import (
+    cross_candidate_pairs,
+    cross_candidate_pairs_indexed,
+)
+from ..operators.signatures import compute_signatures
+from ..operators.verify import verified_pairs
+from .ingest import DOCS_SCHEMA
+
+
+def _read_delta(spark: SparkSession, delta_path: str,
+                exclude_batch: int) -> DataFrame | None:
+    try:
+        delta = spark.read.parquet(delta_path)
+    except Exception:  # first batch: no delta yet
+        return None
+    return delta.filter(F.col("batch_id") != exclude_batch)
+
+
+def dedup_batch_against_index(spark: SparkSession, batch_df: DataFrame,
+                              batch_id: int, index_table: str,
+                              seed_docs: DataFrame, delta_path: str,
+                              cfg: PipelineConfig,
+                              sig_n: DataFrame | None = None) -> DataFrame:
+    """One micro-batch: verified (url_new, url_idx, est_sim, jaccard,
+    is_dup) vs seed index + earlier deltas. Pure function of its inputs.
+    ``sig_n``: pre-materialized batch signatures (the streaming handler
+    computes them once and shares them with the delta write)."""
+    if sig_n is None:
+        sig_n = compute_signatures(batch_df, cfg).localCheckpoint()
+    cands = [cross_candidate_pairs_indexed(spark, sig_n, index_table)]
+    sigs = [sig_n.select("url", "sig"),
+            spark.table(f"{index_table}_sigs").select("url", "sig")]
+    docs = [batch_df.select("url", "text"), seed_docs.select("url", "text")]
+    delta = _read_delta(spark, delta_path, batch_id)
+    if delta is not None:
+        delta = delta.localCheckpoint()  # 2 consumers (bands + verification)
+        cands.append(cross_candidate_pairs(sig_n, delta, cfg))
+        sigs.append(delta.select("url", "sig"))
+        docs.append(delta.select("url", "text"))
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionByName(c)
+    cand = (cand.filter(F.col("url_new") != F.col("url_idx"))
+            .dropDuplicates(["url_new", "url_idx"])
+            .select(F.col("url_new").alias("url_a"),
+                    F.col("url_idx").alias("url_b")))
+    all_sigs = sigs[0]
+    for s in sigs[1:]:
+        all_sigs = all_sigs.unionByName(s)
+    all_docs = docs[0]
+    for d in docs[1:]:
+        all_docs = all_docs.unionByName(d)
+    ver = verified_pairs(cand, all_sigs, all_docs, cfg,
+                         checkpoint_sigs=False)  # batch ckpt'd, rest parquet
+    return ver.select(F.col("url_a").alias("url_new"),
+                      F.col("url_b").alias("url_idx"),
+                      "est_sim", "jaccard", "is_dup")
+
+
+def streaming_incremental_dedup(spark: SparkSession, input_path: str,
+                                index_table: str, seed_docs: DataFrame,
+                                delta_path: str, pairs_path: str,
+                                checkpoint_path: str, cfg: PipelineConfig,
+                                available_now: bool = True,
+                                max_files_per_trigger: int = 1):
+    """Start (and with ``available_now`` drain) the incremental near-dup
+    stream. Returns the StreamingQuery.
+
+    Caller contract: ``index_table`` was built by build_band_index over
+    ``seed_docs`` IN THIS SparkSession (catalog tables are session-scoped
+    without a metastore)."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_path)
+    )
+
+    def process_batch(batch_df, bid: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # consumed by dedup + delta
+        sig_n = compute_signatures(batch_df, cfg).localCheckpoint()
+        ver = dedup_batch_against_index(
+            spark, batch_df, bid, index_table, seed_docs, delta_path, cfg,
+            sig_n=sig_n)
+        (ver.withColumn("batch_id", F.lit(int(bid)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(pairs_path))
+        # delta partition: docs + signatures of this batch become part of
+        # the index every LATER batch sees (written after the pairs so a
+        # crash between the writes replays into the same idempotent state)
+        (sig_n.join(batch_df.select("url", "text"), "url")
+              .withColumn("batch_id", F.lit(int(bid)))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(delta_path))
+
+    writer = (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -111,3 +111,76 @@ def test_stateful_dedup_first_seen_and_state_survives_restart(spark, tmp_path):
     assert len(fps) == len(set(fps)), "a fingerprint was emitted twice"
     n_new = len(rows) - len(want)
     assert n_new == extra.select("text").distinct().count()
+
+
+def test_incremental_near_dedup_drains_and_resumes(spark, tmp_path):
+    """Streaming incremental near-dup: drop 1 drains against the seed
+    index; the stream stops; drop 2 lands; a RESTARTED stream (same
+    checkpoint) processes only drop 2, against seed + drop 1's delta —
+    batch-1 pairs appear once, batch-0 pairs are not duplicated."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from minhashsketch_spark.operators.cross_dedup import build_band_index
+    from minhashsketch_spark.streaming.incremental_dedup import (
+        streaming_incremental_dedup)
+
+    # three groups of near-identical docs: one doc per group per tier
+    def tier_docs(tier):
+        rows = []
+        for g in range(6):
+            # per-group vocabulary is fully distinct so cross-group pairs
+            # are NOT near-dups; tiers of one group differ only in a tail
+            body = " ".join(f"group{g}word{i}token" for i in range(40))
+            rows.append((f"t{tier}-g{g}", body + f" tier {tier} tail"))
+        return spark.createDataFrame(rows, "url string, text string")
+
+    seed = tier_docs(0).localCheckpoint()
+    cfg = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=3, threshold=0.7)
+    build_band_index(spark, seed, cfg, "t_incr", n_buckets=4,
+                     path_root=str(tmp_path / "idx"))
+    inp, delta, pairs, ckpt = [str(tmp_path / p)
+                               for p in ("in", "delta", "pairs", "ckpt")]
+    os.makedirs(inp)
+
+    def land(tier, mtime):
+        import glob
+        import shutil
+
+        d = str(tmp_path / f"drop{tier}")
+        (tier_docs(tier)
+         .select("url", F.lit(None).cast("timestamp").alias("warc_ts"),
+                 F.lit(None).cast("binary").alias("html"), "text",
+                 F.lit("en").alias("lang"))
+         .coalesce(1).write.mode("overwrite").parquet(d))
+        dst = f"{inp}/drop{tier}.parquet"
+        shutil.copyfile(glob.glob(f"{d}/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    try:
+        land(1, 1700000000)
+        q = streaming_incremental_dedup(spark, inp, "t_incr", seed, delta,
+                                        pairs, ckpt, cfg)
+        q.awaitTermination(240)
+        p1 = spark.read.parquet(pairs).filter("is_dup") \
+            .select("url_new", "url_idx").collect()
+        got1 = {(r["url_new"], r["url_idx"]) for r in p1}
+        assert got1 == {(f"t1-g{g}", f"t0-g{g}") for g in range(6)}
+        assert len(p1) == len(got1)  # no duplicate rows
+
+        land(2, 1700000100)
+        q = streaming_incremental_dedup(spark, inp, "t_incr", seed, delta,
+                                        pairs, ckpt, cfg)  # same checkpoint
+        q.awaitTermination(240)
+        p2 = spark.read.parquet(pairs).filter("is_dup") \
+            .select("url_new", "url_idx").collect()
+        got2 = {(r["url_new"], r["url_idx"]) for r in p2}
+        want2 = got1 \
+            | {(f"t2-g{g}", f"t0-g{g}") for g in range(6)} \
+            | {(f"t2-g{g}", f"t1-g{g}") for g in range(6)}
+        assert got2 == want2
+        assert len(p2) == len(got2)  # drop-1 pairs not re-emitted/duplicated
+    finally:
+        for s in ("sigs", "bands", "dim"):
+            spark.sql(f"DROP TABLE IF EXISTS t_incr_{s}")
