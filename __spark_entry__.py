@@ -814,7 +814,7 @@ def _q_cross_corpus_dups_indexed(spark, sf_dir):
         _entry_track_tmp(tmp)
         build_band_index(spark, idx, CFG, "mhs_cci", n_buckets=32, path_root=tmp)
         _BIDX_SF.append(sf_dir)
-    ver = cross_corpus_dup_pairs_indexed(spark, new, "mhs_cci", idx, CFG)
+    ver = cross_corpus_dup_pairs_indexed(spark, new, "mhs_cci", CFG)
     return (ver.filter(F.col("jaccard") >= F.lit(CFG.threshold))
             .select("url_new", "url_idx", F.round("jaccard", 6).alias("jaccard")))
 
@@ -891,7 +891,7 @@ def _q_streaming_incremental_dedup(spark, sf_dir):
         shutil.copyfile(part, dst)
         os.utime(dst, (1700000000 + 100 * i, 1700000000 + 100 * i))
     q = streaming_incremental_dedup(
-        spark, f"{tmp}/in", "mhs_incr", seed, f"{tmp}/delta",
+        spark, f"{tmp}/in", "mhs_incr", f"{tmp}/delta",
         f"{tmp}/pairs", f"{tmp}/ckpt", CFG)
     q.awaitTermination(600)
     pairs = spark.read.parquet(f"{tmp}/pairs")

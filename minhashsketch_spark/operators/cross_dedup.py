@@ -139,9 +139,12 @@ def build_band_index(spark: SparkSession, index_docs: DataFrame,
     the write pays the shuffle once so every later daily join reads the
     index pre-partitioned, with no Exchange on the index side):
 
-    * ``<table>_sigs``  (url, sig_key, sig, bands) bucketed by url — the
-      verification side's signature lookup, reused by every daily run
-      instead of recomputing the signature UDF over the whole index.
+    * ``<table>_sigs``  (url, sig_key, sig, bands, text) bucketed by url —
+      the verification side's signature + raw-text lookup, reused by every
+      daily run instead of recomputing the signature UDF over the whole
+      index. Text lives here because exact-Jaccard verification needs the
+      candidate partners' bytes — and at 10^12 docs this table IS the
+      corpus, stored bucketed by its join key.
     * ``<table>_bands`` (jk, band_key, salt, url_idx) bucketed+sorted by
       ``jk = xxhash64(band_key, salt)`` — the candidate join side. Folding
       salt into the bucket key keeps hot bands PHYSICALLY spread across
@@ -159,7 +162,10 @@ def build_band_index(spark: SparkSession, index_docs: DataFrame,
     from ..sources.io import write_bucketed
 
     sigs = compute_signatures(index_docs, cfg, url_col, text_col)
-    write_bucketed(sigs.select("url", "sig_key", "sig", "bands"),
+    texts = index_docs.select(F.col(url_col).alias("url"),
+                              F.col(text_col).alias("text"))
+    write_bucketed(sigs.select("url", "sig_key", "sig", "bands")
+                   .join(texts, "url"),
                    f"{table}_sigs", "url", n_buckets, path=p("sigs"))
     # derive the band tables from the STORED signatures: one signature-UDF
     # execution total, and the band build reads columnar parquet
@@ -207,22 +213,27 @@ def cross_candidate_pairs_indexed(spark: SparkSession, new_sigs: DataFrame,
 
 
 def cross_corpus_dup_pairs_indexed(spark: SparkSession, new_docs: DataFrame,
-                                   table: str, index_docs: DataFrame,
-                                   cfg: PipelineConfig, url_col: str = "url",
+                                   table: str, cfg: PipelineConfig,
+                                   index_docs: DataFrame | None = None,
+                                   url_col: str = "url",
                                    text_col: str = "text") -> DataFrame:
     """Verified near-dup pairs of a daily batch vs a ``build_band_index``
-    table. Index signatures come from the bucketed ``<table>_sigs`` catalog
-    table (no signature recompute, no index-side Exchange in the candidate
-    join); ``index_docs`` supplies only the raw texts for the exact-Jaccard
-    verification of the (batch-sized) surviving candidate set."""
+    table. Index signatures AND raw texts come from the bucketed
+    ``<table>_sigs`` catalog table (no signature recompute, no index-side
+    Exchange in the candidate join); pass ``index_docs`` only to override
+    the stored texts."""
     sig_n = compute_signatures(new_docs, cfg, url_col, text_col).localCheckpoint()
     cand = cross_candidate_pairs_indexed(spark, sig_n, table).select(
         F.col("url_new").alias("url_a"), F.col("url_idx").alias("url_b"))
     sig_i = spark.table(f"{table}_sigs")
     sigs = sig_n.select("url", "sig").unionByName(sig_i.select("url", "sig"))
-    docs = (new_docs.select(F.col(url_col), F.col(text_col))
-            .unionByName(index_docs.select(F.col(url_col), F.col(text_col))))
-    ver = verified_pairs(cand, sigs, docs, cfg, url_col, text_col,
+    idx_texts = (sig_i.select("url", "text") if index_docs is None
+                 else index_docs.select(F.col(url_col).alias("url"),
+                                        F.col(text_col).alias("text")))
+    docs = (new_docs.select(F.col(url_col).alias("url"),
+                            F.col(text_col).alias("text"))
+            .unionByName(idx_texts))
+    ver = verified_pairs(cand, sigs, docs, cfg, "url", "text",
                          checkpoint_sigs=False)  # parquet-backed + batch ckpt
     return ver.select(F.col("url_a").alias("url_new"),
                       F.col("url_b").alias("url_idx"),

@@ -48,8 +48,7 @@ def _read_delta(spark: SparkSession, delta_path: str,
 
 def dedup_batch_against_index(spark: SparkSession, batch_df: DataFrame,
                               batch_id: int, index_table: str,
-                              seed_docs: DataFrame, delta_path: str,
-                              cfg: PipelineConfig,
+                              delta_path: str, cfg: PipelineConfig,
                               sig_n: DataFrame | None = None) -> DataFrame:
     """One micro-batch: verified (url_new, url_idx, est_sim, jaccard,
     is_dup) vs seed index + earlier deltas. Pure function of its inputs.
@@ -57,10 +56,12 @@ def dedup_batch_against_index(spark: SparkSession, batch_df: DataFrame,
     computes them once and shares them with the delta write)."""
     if sig_n is None:
         sig_n = compute_signatures(batch_df, cfg).localCheckpoint()
+    idx_sigs = spark.table(f"{index_table}_sigs")
     cands = [cross_candidate_pairs_indexed(spark, sig_n, index_table)]
-    sigs = [sig_n.select("url", "sig"),
-            spark.table(f"{index_table}_sigs").select("url", "sig")]
-    docs = [batch_df.select("url", "text"), seed_docs.select("url", "text")]
+    sigs = [sig_n.select("url", "sig"), idx_sigs.select("url", "sig")]
+    # index texts come from the _sigs table itself — they must survive
+    # compaction, which a caller-held seed-docs frame would not cover
+    docs = [batch_df.select("url", "text"), idx_sigs.select("url", "text")]
     delta = _read_delta(spark, delta_path, batch_id)
     if delta is not None:
         delta = delta.localCheckpoint()  # 2 consumers (bands + verification)
@@ -88,17 +89,18 @@ def dedup_batch_against_index(spark: SparkSession, batch_df: DataFrame,
 
 
 def streaming_incremental_dedup(spark: SparkSession, input_path: str,
-                                index_table: str, seed_docs: DataFrame,
-                                delta_path: str, pairs_path: str,
-                                checkpoint_path: str, cfg: PipelineConfig,
+                                index_table: str, delta_path: str,
+                                pairs_path: str, checkpoint_path: str,
+                                cfg: PipelineConfig,
                                 available_now: bool = True,
                                 max_files_per_trigger: int = 1):
     """Start (and with ``available_now`` drain) the incremental near-dup
     stream. Returns the StreamingQuery.
 
-    Caller contract: ``index_table`` was built by build_band_index over
-    ``seed_docs`` IN THIS SparkSession (catalog tables are session-scoped
-    without a metastore)."""
+    Caller contract: ``index_table`` was built by build_band_index (or
+    compacted by compact_band_index) IN THIS SparkSession — catalog tables
+    are session-scoped without a metastore. Index texts come from the
+    ``_sigs`` table, so no separate seed-docs frame is needed."""
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -109,8 +111,7 @@ def streaming_incremental_dedup(spark: SparkSession, input_path: str,
         batch_df = batch_df.localCheckpoint()  # consumed by dedup + delta
         sig_n = compute_signatures(batch_df, cfg).localCheckpoint()
         ver = dedup_batch_against_index(
-            spark, batch_df, bid, index_table, seed_docs, delta_path, cfg,
-            sig_n=sig_n)
+            spark, batch_df, bid, index_table, delta_path, cfg, sig_n=sig_n)
         (ver.withColumn("batch_id", F.lit(int(bid)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -132,3 +133,58 @@ def streaming_incremental_dedup(spark: SparkSession, input_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_band_index(spark: SparkSession, index_table: str,
+                       delta_path: str, cfg: PipelineConfig,
+                       n_buckets: int = 64,
+                       path_root: str | None = None) -> int:
+    """Fold the accumulated delta into the bucketed index — the periodic
+    batch job that keeps the streaming path fast: deltas join via an
+    ad-hoc (shuffling) band join, the compacted index joins exchange-free,
+    and compaction re-salts hot bands over the GROWN bucket sizes.
+
+    Reads the existing ``<index_table>_sigs`` + the delta's signatures
+    (both already computed — the signature UDF never re-runs), unions
+    them, rewrites the three bucketed tables, then clears the delta. A
+    crash before the delta clear leaves delta docs present in both the
+    index and the delta: candidates duplicate, pairs don't
+    (dropDuplicates), so the job is safely re-runnable. Returns the
+    number of docs folded in.
+    """
+    from ..operators.cross_dedup import _jk, _salted_index_bands
+    from ..sources.io import write_bucketed
+
+    sig_cols = ["url", "sig_key", "sig", "bands", "text"]
+    try:
+        delta = spark.read.parquet(delta_path)
+    except Exception:
+        return 0
+    n_delta = delta.count()
+    if n_delta == 0:
+        return 0
+    merged = (spark.table(f"{index_table}_sigs").select(*sig_cols)
+              .unionByName(delta.select(*sig_cols))
+              .localCheckpoint())  # sever lineage from the table being rewritten
+
+    def p(suffix: str) -> str | None:
+        return f"{path_root}/{suffix}" if path_root else None
+
+    write_bucketed(merged, f"{index_table}_sigs", "url", n_buckets,
+                   path=p("sigs"))
+    stored = spark.table(f"{index_table}_sigs")
+    ib = (stored.select("url", F.explode("bands").alias("band_key"))
+          .select("band_key", F.col("url").alias("url_idx")))
+    salted = _salted_index_bands(ib, cfg)
+    write_bucketed(
+        salted.select(_jk(F.col("band_key"), F.col("salt")).alias("jk"),
+                      "band_key", "salt", "url_idx"),
+        f"{index_table}_bands", "jk", n_buckets, path=p("bands"))
+    write_bucketed(
+        salted.groupBy("band_key").agg(F.max("n_salt").alias("n_salt")),
+        f"{index_table}_dim", "band_key", n_buckets, path=p("dim"))
+    # clear the delta LAST (see crash note above)
+    import shutil
+
+    shutil.rmtree(delta_path, ignore_errors=True)
+    return n_delta

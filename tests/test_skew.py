@@ -148,7 +148,7 @@ def test_indexed_cross_corpus_equals_adhoc_through_hot_bucket(spark, tmp_path):
         build_band_index(spark, idx, cfg, "t_xidx", n_buckets=8,
                          path_root=str(tmp_path / "xidx"))
         indexed = sorted(key(r) for r in cross_corpus_dup_pairs_indexed(
-            spark, new, "t_xidx", idx, cfg).collect())
+            spark, new, "t_xidx", cfg).collect())
     finally:
         for s in ("sigs", "bands", "dim"):
             spark.sql(f"DROP TABLE IF EXISTS t_xidx_{s}")

@@ -160,7 +160,7 @@ def test_incremental_near_dedup_drains_and_resumes(spark, tmp_path):
 
     try:
         land(1, 1700000000)
-        q = streaming_incremental_dedup(spark, inp, "t_incr", seed, delta,
+        q = streaming_incremental_dedup(spark, inp, "t_incr", delta,
                                         pairs, ckpt, cfg)
         q.awaitTermination(240)
         p1 = spark.read.parquet(pairs).filter("is_dup") \
@@ -170,7 +170,7 @@ def test_incremental_near_dedup_drains_and_resumes(spark, tmp_path):
         assert len(p1) == len(got1)  # no duplicate rows
 
         land(2, 1700000100)
-        q = streaming_incremental_dedup(spark, inp, "t_incr", seed, delta,
+        q = streaming_incremental_dedup(spark, inp, "t_incr", delta,
                                         pairs, ckpt, cfg)  # same checkpoint
         q.awaitTermination(240)
         p2 = spark.read.parquet(pairs).filter("is_dup") \
@@ -181,6 +181,27 @@ def test_incremental_near_dedup_drains_and_resumes(spark, tmp_path):
             | {(f"t2-g{g}", f"t1-g{g}") for g in range(6)}
         assert got2 == want2
         assert len(p2) == len(got2)  # drop-1 pairs not re-emitted/duplicated
+
+        # compaction folds drops 1+2 into the bucketed index (clearing the
+        # delta); drop 3 then pairs with ALL prior tiers via the index alone
+        from minhashsketch_spark.streaming.incremental_dedup import (
+            compact_band_index)
+
+        n = compact_band_index(spark, "t_incr", delta, cfg, n_buckets=4,
+                               path_root=str(tmp_path / "idx2"))
+        assert n == 12
+        assert not os.path.exists(delta)
+        land(3, 1700000200)
+        q = streaming_incremental_dedup(spark, inp, "t_incr", delta,
+                                        pairs, ckpt, cfg)
+        q.awaitTermination(240)
+        p3 = spark.read.parquet(pairs).filter("is_dup") \
+            .select("url_new", "url_idx").collect()
+        got3 = {(r["url_new"], r["url_idx"]) for r in p3}
+        want3 = want2 | {(f"t3-g{g}", f"t{t}-g{g}")
+                         for g in range(6) for t in range(3)}
+        assert got3 == want3
+        assert len(p3) == len(got3)
     finally:
         for s in ("sigs", "bands", "dim"):
             spark.sql(f"DROP TABLE IF EXISTS t_incr_{s}")
