@@ -273,6 +273,32 @@ def _q_near_dedup_corpus(spark, sf_dir):
     return near_dedup_corpus(docs, clusters).select("url")
 
 
+def _q_near_dedup_best(spark, sf_dir):
+    """Quality-aware keeper selection: the near-dup clusters keep their
+    HIGHEST-quality member (ties by min url) instead of the lexicographic
+    min — what a training pipeline actually wants. The ordering score is
+    the UNROUNDED quality product: +,-,*,/ are IEEE-exact across engines,
+    so the window order is bit-deterministic (a round() could tie-break
+    differently per engine's rounding mode)."""
+    from minhashsketch_spark.operators.connected_components import connected_components
+    from minhashsketch_spark.operators.dedup_corpus import near_dedup_corpus_best
+
+    docs = _docs_as_urls(spark, sf_dir)
+    pairs = _near_dup_exact_pairs(spark, sf_dir).select("url_a", "url_b").localCheckpoint()
+    clusters = connected_components(pairs, CFG.max_cc_iterations)
+    text = F.col("text")
+    n = F.length(text)
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^!.,;:?]", ""))
+    ntok = F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(text), r"\s+")))
+    score = F.when(n == 0, F.lit(0.0)).otherwise(
+        100.0 * (1.0 - digits.cast("double") / n)
+        * (1.0 - punct.cast("double") / n)
+        * F.least(F.lit(1.0), ntok.cast("double") / 100.0))
+    return near_dedup_corpus_best(docs, clusters, score).select("url")
+
+
 _CLIPS = [f"/root/reference/testing_files/sequence_clip{i}.fasta" for i in (1, 2, 3)]
 
 
@@ -977,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dups": _q_substring_dups,
         "exact_dedup_corpus": _q_exact_dedup_corpus,
         "near_dedup_corpus": _q_near_dedup_corpus,
+        "near_dedup_best": _q_near_dedup_best,
         # reference DNA parity (goldens from the ref-compiled binary)
         "dna_similarity": _q_dna_similarity,
         "dna_sketches": _q_dna_sketches,
@@ -1117,6 +1144,46 @@ _NEAR_DEDUP_CORPUS_ORACLE = f"""
         )
         SELECT printf('doc-%08d', doc_id) AS url
         FROM documents WHERE doc_id NOT IN (SELECT u FROM losers)
+"""
+
+# quality-aware keeper: same closure as _NEAR_DEDUP_CORPUS_ORACLE but the
+# kept member is the argmax of the UNROUNDED quality product (IEEE-exact
+# ops only — +,-,*,/ — so the window order is bit-identical cross-engine),
+# ties by min doc_id
+_NEAR_DEDUP_BEST_ORACLE = rf"""
+        WITH RECURSIVE {_near_dup_cte()},
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM dup_pairs
+          UNION SELECT id_b, id_a FROM dup_pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (
+          SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+          FROM reach GROUP BY u
+        ),
+        member_scores AS (
+          SELECT c.doc_id, c.cluster_id,
+                 CASE WHEN length(d.text) = 0 THEN 0.0
+                      ELSE 100.0
+                        * (1.0 - length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE / length(d.text))
+                        * (1.0 - length(regexp_replace(d.text, '[^!.,;:?]', '', 'g'))::DOUBLE / length(d.text))
+                        * least(1.0, (CASE WHEN length(trim(d.text)) = 0 THEN 0
+                                           ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END)::DOUBLE / 100.0)
+                 END AS s
+          FROM comp c JOIN documents d USING (doc_id)
+        ),
+        losers AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+                     PARTITION BY cluster_id ORDER BY s DESC, doc_id ASC) AS rn
+            FROM member_scores) WHERE rn > 1
+        )
+        SELECT printf('doc-%08d', doc_id) AS url
+        FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 # the composed curation pipeline (curate.py): exact dedup -> near-dup dedup
@@ -1631,6 +1698,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs": _NEAR_DUP_PAIRS_ORACLE,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE,
         "near_dedup_corpus": _NEAR_DEDUP_CORPUS_ORACLE,
+        "near_dedup_best": _NEAR_DEDUP_BEST_ORACLE,
         # PPM payload = 11-byte header + first 192 utf-8 text bytes,
         # zero-padded by the decoder; hist bins are byte-value // 4.
         # LEFT JOIN from the per-doc spine so npix=0 docs survive with the

@@ -55,6 +55,7 @@ HEADLINE = [
     "line_dedup",
     "url_dedup",
     "near_dedup_corpus",
+    "near_dedup_best",
     "ngram_jaccard",
     "simhash_pairs",
     "token_stats",

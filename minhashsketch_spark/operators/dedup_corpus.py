@@ -39,6 +39,28 @@ def near_dedup_corpus(docs: DataFrame, clusters: DataFrame,
     return docs.join(losers, on=url_col, how="left_anti")
 
 
+def near_dedup_corpus_best(docs: DataFrame, clusters: DataFrame,
+                           score, url_col: str = "url") -> DataFrame:
+    """Quality-aware keeper selection: keep the HIGHEST-``score`` member of
+    every near-dup cluster (ties broken by min url — deterministic), not
+    the lexicographic-min url. This is what a training-data pipeline
+    actually wants: among near-identical pages, keep the cleanest one.
+
+    ``score`` is a pure Column expression over the docs row (e.g.
+    text.quality_score_expr()), so scoring happens inline during the single
+    join — no extra corpus scan. Plan: clusters (small relative to the
+    corpus — only docs in dup clusters appear) join docs on url, one
+    window over cluster_id picks the keeper, then a left-anti join removes
+    the losers from the corpus; the corpus itself is scanned once and
+    never shuffled, the same shape as near_dedup_corpus."""
+    members = (docs.join(clusters.select(url_col, "cluster_id"), url_col)
+               .withColumn("_s", score))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_s"), F.asc(url_col))
+    losers = (members.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") > 1).select(url_col))
+    return docs.join(losers, on=url_col, how="left_anti")
+
+
 def line_dedup_stats(docs: DataFrame, min_df: int = 2,
                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """CCNet/Gopher-style LINE-level dedup: drop every line that appears in
