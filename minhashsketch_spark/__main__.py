@@ -124,6 +124,9 @@ def _curate(argv: list[str]) -> None:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--min-quality", type=float, default=20.0)
     p.add_argument("--langs", default="en", help="comma-separated keep list")
+    p.add_argument("--keeper", default="min", choices=["min", "best"],
+                   help="near-dup cluster survivor: lexicographic-min url "
+                        "or highest quality score")
     p.add_argument("--k", type=int, default=9)
     p.add_argument("--m", type=int, default=1)
     p.add_argument("--t", type=int, default=128)
@@ -147,7 +150,8 @@ def _curate(argv: list[str]) -> None:
     cfg = _make_config(a)
     docs = read_table(spark, a.input)
     res = curate(spark, docs, cfg, min_quality=a.min_quality,
-                 langs=tuple(a.langs.split(",")), checkpoint_root=a.checkpoint)
+                 langs=tuple(a.langs.split(",")), checkpoint_root=a.checkpoint,
+                 keeper=a.keeper)
     write_table(res["curated"], a.output)
     for step, n in res["accounting"].items():
         print(f"{step}: {n}")

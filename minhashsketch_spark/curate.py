@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .config import PipelineConfig
-from .operators.dedup_corpus import exact_dedup_corpus, near_dedup_corpus
+from .operators.dedup_corpus import (
+    exact_dedup_corpus,
+    near_dedup_corpus,
+    near_dedup_corpus_best,
+)
 from .operators.text import detected_lang_expr, quality_score_expr
 from .pipeline import _track_auto_root, input_fingerprint, run_pipeline
 from .sources.io import StageStore
@@ -21,8 +25,14 @@ def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
            min_quality: float = 20.0, langs: tuple[str, ...] = ("en",),
            checkpoint_root: str | None = None,
            url_col: str = "url", text_col: str = "text",
-           with_accounting: bool = True) -> dict:
+           with_accounting: bool = True, keeper: str = "min") -> dict:
     """Returns {"curated": DataFrame, "accounting": dict of step -> rows}.
+
+    ``keeper``: which member survives a near-dup cluster — "min" (the
+    lexicographic-min url; deterministic and cheapest) or "best" (the
+    highest-quality-score member via near_dedup_corpus_best; what a
+    training pipeline usually wants). Keeper choice changes WHICH text
+    survives, so it runs before the quality/language filters.
 
     Order matters at scale: exact dedup first (cheapest, biggest shrink on
     crawl data), near-dup second (most expensive — runs on the exact-
@@ -59,10 +69,17 @@ def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
                                                text_col=text_col))
     accounting = {"after_exact_dedup": store.manifest("exact_dedup")["rows"]}
 
+    if keeper not in ("min", "best"):
+        raise ValueError(f"keeper must be 'min' or 'best', got {keeper!r}")
     result = run_pipeline(spark, exact, cfg, checkpoint_root=checkpoint_root,
                           url_col=url_col, text_col=text_col,
                           stage_key=stage_key)
-    near = near_dedup_corpus(exact, result["clusters"], url_col=url_col)
+    if keeper == "best":
+        near = near_dedup_corpus_best(exact, result["clusters"],
+                                      quality_score_expr(text_col),
+                                      url_col=url_col)
+    else:
+        near = near_dedup_corpus(exact, result["clusters"], url_col=url_col)
 
     # per-row filters apply INLINE on the survivors (pure Column
     # expressions): joining reduced (url, score) frames back would re-plan

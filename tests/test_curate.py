@@ -26,3 +26,34 @@ def test_curate_end_to_end(spark):
         assert orig[r["url"]] == r["text"]
     # curated schema preserves the input_hint columns
     assert set(out["curated"].columns) == {"url", "warc_ts", "html", "text", "lang"}
+
+
+def test_curate_keeper_best_keeps_highest_quality(spark, tmp_path):
+    """keeper='best' must keep each near-dup cluster's highest-quality
+    member, where keeper='min' keeps the min url."""
+    from pyspark.sql import functions as F
+
+    from minhashsketch_spark.config import PipelineConfig
+    from minhashsketch_spark.curate import curate
+
+    base = " ".join(f"alpha{i} beta{i}" for i in range(30))
+    rows = [
+        # a near-dup pair: u-a has digits (lower quality), u-b is clean
+        ("u-a", base + " tail one 123456789012345678901234567890"),
+        ("u-b", base + " tail two"),
+        # an unclustered doc
+        ("u-z", " ".join(f"solo{i} token{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    cfg = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=3, threshold=0.7)
+
+    kept_min = {r["url"] for r in curate(
+        spark, docs, cfg, min_quality=0.0, langs=("unknown",),
+        checkpoint_root=str(tmp_path / "c1"), with_accounting=False,
+        keeper="min")["curated"].collect()}
+    kept_best = {r["url"] for r in curate(
+        spark, docs, cfg, min_quality=0.0, langs=("unknown",),
+        checkpoint_root=str(tmp_path / "c2"), with_accounting=False,
+        keeper="best")["curated"].collect()}
+    assert kept_min == {"u-a", "u-z"}   # lexicographic min
+    assert kept_best == {"u-b", "u-z"}  # higher quality (no digit penalty)

@@ -213,3 +213,25 @@ def test_band_index_candidate_join_never_shuffles_index_side(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for s in ("sigs", "bands", "dim"):
             spark.sql(f"DROP TABLE IF EXISTS t_bidx_{s}")
+
+
+def test_url_operators_plan_shapes(spark):
+    """normalize is a pure narrow map (zero Exchange); the blocklist filter
+    is a broadcast anti-join — the corpus side is never hash-shuffled."""
+    from minhashsketch_spark.operators.urls import (
+        filter_blocked_domains, normalize_url_expr)
+
+    docs = spark.range(0, 1000).selectExpr(
+        "concat('http://h', id % 7, '.com/p/', id) AS url", "id")
+    norm = docs.select(normalize_url_expr().alias("n"))
+    assert "Exchange" not in _plan(norm)
+
+    blocked = spark.createDataFrame([("h1.com",), ("h2.com",)], "domain string")
+    plan = _plan(filter_blocked_domains(docs, blocked))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the only shuffle allowed is the blocklist's own dedup (a dimension of
+    # thousands of rows) — the corpus side is never hash-partitioned
+    import re
+
+    for m in re.findall(r"hashpartitioning\((\w+)", plan):
+        assert m.startswith("_bhost"), plan
