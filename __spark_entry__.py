@@ -273,6 +273,37 @@ def _q_near_dedup_corpus(spark, sf_dir):
     return near_dedup_corpus(docs, clusters).select("url")
 
 
+def _q_domain_stats(spark, sf_dir):
+    """Per-domain crawl stats over the url_dedup-style fabricated hosts;
+    every fifth doc is replaced by shared boilerplate so n_dup_docs is
+    non-vacuous (sf0.01 testdata has no exact dups naturally)."""
+    from minhashsketch_spark.operators.urls import domain_stats
+
+    docs = _docs(spark, sf_dir)
+    url = F.format_string("https://host%d.example.com/p/%d",
+                          F.col("doc_id") % 7, F.col("doc_id"))
+    text = (F.when(F.col("doc_id") % 5 == 0, F.lit("shared boilerplate page"))
+            .otherwise(F.col("text")))
+    return domain_stats(docs.select(url.alias("url"), text.alias("text")))
+
+
+def _q_corpus_splits(spark, sf_dir):
+    """Deterministic hash splits (train/val/test) + a 10% sample — the
+    reproducible-subset operator a training pipeline runs before anything
+    else. Output: per-split doc counts + a value fingerprint (bit_xor of
+    the split members' hashes) so the oracle checks MEMBERSHIP, not just
+    sizes."""
+    from minhashsketch_spark.operators.sampling import hash60_expr, hash_split
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.format_string("doc-%08d", F.col("doc_id")))
+    split = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (split.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.bit_xor(hash60_expr("url")).alias("member_xor"))
+            .filter(F.col("split").isNotNull()))
+
+
 def _q_near_dedup_best(spark, sf_dir):
     """Quality-aware keeper selection: the near-dup clusters keep their
     HIGHEST-quality member (ties by min url) instead of the lexicographic
@@ -1004,6 +1035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_corpus": _q_exact_dedup_corpus,
         "near_dedup_corpus": _q_near_dedup_corpus,
         "near_dedup_best": _q_near_dedup_best,
+        "corpus_splits": _q_corpus_splits,
+        "domain_stats": _q_domain_stats,
         # reference DNA parity (goldens from the ref-compiled binary)
         "dna_similarity": _q_dna_similarity,
         "dna_sketches": _q_dna_sketches,
@@ -1699,6 +1732,38 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE,
         "near_dedup_corpus": _NEAR_DEDUP_CORPUS_ORACLE,
         "near_dedup_best": _NEAR_DEDUP_BEST_ORACLE,
+        "domain_stats": """
+            WITH d AS (
+              SELECT 'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+                     md5(CASE WHEN doc_id % 5 = 0 THEN 'shared boilerplate page'
+                              ELSE text END) AS fp,
+                     length(CASE WHEN doc_id % 5 = 0 THEN 'shared boilerplate page'
+                                 ELSE text END) AS len
+              FROM documents
+            ),
+            fpn AS (SELECT fp, count(*) AS fp_count FROM d GROUP BY fp)
+            SELECT host, count(*) AS n_docs,
+                   sum(CASE WHEN fp_count >= 2 THEN 1 ELSE 0 END) AS n_dup_docs,
+                   sum(len) AS n_chars
+            FROM d JOIN fpn USING (fp) GROUP BY host
+        """,
+        # same integer band bounds computed the same way (int(frac * 2^60))
+        # so no float-rounding hazard crosses the engine boundary
+        "corpus_splits": f"""
+            WITH h AS (
+              SELECT ('0x' || substr(md5(printf('doc-%08d', doc_id)), 1, 15))::BIGINT AS hv
+              FROM documents
+            ),
+            s AS (
+              SELECT hv, CASE WHEN hv < {int(0.8 * (1 << 60))} THEN 'train'
+                              WHEN hv < {int(0.8 * (1 << 60)) + int(0.1 * (1 << 60))} THEN 'val'
+                              WHEN hv < {int(0.8 * (1 << 60)) + 2 * int(0.1 * (1 << 60))} THEN 'test'
+                         END AS split
+              FROM h
+            )
+            SELECT split, count(*) AS n_docs, bit_xor(hv) AS member_xor
+            FROM s WHERE split IS NOT NULL GROUP BY split
+        """,
         # PPM payload = 11-byte header + first 192 utf-8 text bytes,
         # zero-padded by the decoder; hist bins are byte-value // 4.
         # LEFT JOIN from the per-doc spine so npix=0 docs survive with the

@@ -54,6 +54,8 @@ HEADLINE = [
     "exact_dedup_corpus",
     "line_dedup",
     "url_dedup",
+    "domain_stats",
+    "corpus_splits",
     "near_dedup_corpus",
     "near_dedup_best",
     "ngram_jaccard",

@@ -68,6 +68,28 @@ def url_dedup_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def domain_stats(docs: DataFrame, url_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """Per-domain crawl dashboard: (host, n_docs, n_dup_docs, n_chars) —
+    the dup column counts docs whose exact content appears in >= 2 docs
+    corpus-wide, so boilerplate/mirror farms jump out per host.
+
+    Plan: md5 fingerprint -> corpus-wide fingerprint counts (one hash-agg)
+    -> join back -> per-host agg. Both shuffles are over 16-byte keys /
+    hosts, never raw text."""
+    d = docs.select(host_expr(url_col).alias("host"),
+                    F.md5(F.col(text_col)).alias("fp"),
+                    F.length(F.col(text_col)).alias("len"))
+    fp_n = d.groupBy("fp").agg(F.count("*").alias("fp_count"))
+    return (
+        d.join(fp_n, "fp")
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum((F.col("fp_count") >= 2).cast("bigint")).alias("n_dup_docs"),
+             F.sum("len").alias("n_chars"))
+    )
+
+
 def filter_blocked_domains(docs: DataFrame, blocked: DataFrame,
                            url_col: str = "url",
                            domain_col: str = "domain") -> DataFrame:

@@ -94,3 +94,37 @@ def test_url_operators(spark):
                                     "domain string")
     kept = {r["id"] for r in filter_blocked_domains(df, blocked).collect()}
     assert kept == {2, 3, 4, 5, 6, 7}  # id 1 (example.com) dropped
+
+
+def test_hash_sampling_properties(spark):
+    """Deterministic threshold sampling: stable across runs, subset
+    property across fractions, disjoint + exhaustive splits."""
+    import pytest
+
+    from minhashsketch_spark.operators.sampling import hash_sample, hash_split
+
+    docs = spark.range(0, 2000).selectExpr("concat('u-', id) AS url", "id")
+    s10a = {r["id"] for r in hash_sample(docs, 0.10).collect()}
+    s10b = {r["id"] for r in hash_sample(docs, 0.10).collect()}
+    s30 = {r["id"] for r in hash_sample(docs, 0.30).collect()}
+    assert s10a == s10b                      # reproducible
+    assert s10a <= s30                       # subset property
+    assert 0.05 < len(s10a) / 2000 < 0.15    # roughly the asked fraction
+    assert len(hash_sample(docs, 0.0).collect()) == 0
+    assert len(hash_sample(docs, 1.0).collect()) == 2000
+
+    split = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = split.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["id"])
+    assert set(by) == {"train", "val", "test"}  # fractions sum to 1 -> no NULL
+    assert sum(len(v) for v in by.values()) == 2000
+    assert by["train"] & by["val"] == set() and by["val"] & by["test"] == set()
+    # sample(0.8) IS the train band (same threshold construction)
+    assert {r["id"] for r in hash_sample(docs, 0.8).collect()} == by["train"]
+
+    with pytest.raises(ValueError):
+        hash_split(docs, {"a": 0.9, "b": 0.2})
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
