@@ -1743,8 +1743,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             fpn AS (SELECT fp, count(*) AS fp_count FROM d GROUP BY fp)
             SELECT host, count(*) AS n_docs,
-                   sum(CASE WHEN fp_count >= 2 THEN 1 ELSE 0 END) AS n_dup_docs,
-                   sum(len) AS n_chars
+                   sum(CASE WHEN fp_count >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+                   sum(len)::BIGINT AS n_chars
             FROM d JOIN fpn USING (fp) GROUP BY host
         """,
         # same integer band bounds computed the same way (int(frac * 2^60))

@@ -16,13 +16,27 @@ from pyspark.sql.window import Window
 
 def exact_dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """Keep the min-id doc of every exact-content group."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    """Keep the min-id doc of every exact-content group.
+
+    Scale shape (round-5 rewrite): the old form windowed
+    ``row_number() over (partition by md5(text))`` — a full-corpus exchange
+    that shuffles the raw text bytes. At 100 TB that is the single most
+    expensive stage of ``curate()``. The scale-safe form shuffles only
+    (16-byte md5, id): aggregate keepers with ``groupBy(md5).agg(min(id))``
+    (map-side partial combine), derive the loser-id set from the duplicate
+    groups, and left-anti-join the ids against the unshuffled corpus — the
+    same corpus-never-shuffled shape as ``near_dedup_corpus``. Text bytes
+    pass through untouched (the input_hint byte-identity invariant).
+    """
+    fps = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_fp"))
+    keepers = fps.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"),
+                                     F.count("*").alias("_n"))
+    losers = (
+        fps.join(keepers.filter(F.col("_n") >= 2), "_fp")
+        .filter(F.col(id_col) != F.col("_keep_id"))
+        .select(id_col)
     )
+    return docs.join(losers, on=id_col, how="left_anti")
 
 
 def near_dedup_corpus(docs: DataFrame, clusters: DataFrame,

@@ -215,6 +215,28 @@ def test_band_index_candidate_join_never_shuffles_index_side(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS t_bidx_{s}")
 
 
+def test_exact_dedup_corpus_never_shuffles_text(spark):
+    """Round-5 rewrite (VERDICT r4 #2): the corpus-output exact dedup must
+    shuffle only (md5 fingerprint, id) — NO Exchange in the plan may carry
+    the text column. At 100 TB the old row_number-over-md5(text) window
+    exchanged the raw corpus bytes as the FIRST stage of curate()."""
+    import re
+
+    from minhashsketch_spark.operators.dedup_corpus import exact_dedup_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_dedup_corpus(docs))
+    assert "Window" not in plan, plan
+    # every "(n) Exchange" detail block lists its input attributes; none may
+    # include the text column (the fingerprint stands in for it)
+    blocks = re.split(r"^\(\d+\) ", plan, flags=re.M)
+    for blk in blocks:
+        if blk.startswith("Exchange"):
+            inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", blk)
+            assert inp, blk
+            assert not re.search(r"\btext\b", inp.group(1)), blk
+
+
 def test_url_operators_plan_shapes(spark):
     """normalize is a pure narrow map (zero Exchange); the blocklist filter
     is a broadcast anti-join — the corpus side is never hash-shuffled."""
