@@ -8,10 +8,25 @@ Prints ONE JSON line:
 Measurement protocol (CLAUDE.md "bench protocol"): each query runs
 $SPARK_GRAFT_BENCH_REPS times (default 2) and ``queries`` reports the
 per-query MIN; every individual rep plus /proc/loadavg before each rep is
-also emitted (``reps``, ``rep_loadavg1``, ``loadavg``), so a reader can
-adjudicate co-tenant load spikes (this host has measured the same bench at
-90 s and 119 s twenty minutes apart purely from external load) without
-trusting prose. ``value`` is the sum of per-query minimums.
+recorded so a reader can adjudicate co-tenant load spikes (this host has
+measured the same bench at 90 s and 119 s twenty minutes apart purely from
+external load) without trusting prose. ``value`` is the sum of per-query
+minimums.
+
+Artifact hardening (round 5 — BENCH_r04.json arrived tail-truncated with
+``parsed: null`` and loadavg 2.3-7.9):
+
+* The stdout line is the COMPACT summary (metric/value/queries/loadavg) —
+  short enough that tail capture cannot truncate it mid-object. The full
+  per-rep record (``reps``, ``rep_loadavg1``) is written to its own file,
+  ``BENCH/bench_full.json`` (override: $SPARK_GRAFT_BENCH_OUT), whose path
+  the summary carries as ``full_artifact``.
+* The loadavg gate is enforced, not advised: if loadavg(1m) >= 1.5 at
+  start, bench.py WAITS for the host to go idle (up to
+  $SPARK_GRAFT_BENCH_WAIT s, default 600, polling every 15 s) and then
+  REFUSES (exit 2) if it never does — unless ``--force`` /
+  $SPARK_GRAFT_BENCH_FORCE=1, which proceeds and stamps
+  ``"gate_forced": true`` into both artifacts.
 """
 
 from __future__ import annotations
@@ -35,6 +50,34 @@ def _loadavg() -> list[float]:
             return [float(x) for x in f.read().split()[:3]]
     except OSError:  # non-Linux fallback
         return list(os.getloadavg())
+
+
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "1.5"))
+
+
+def _enforce_load_gate(force: bool) -> tuple[list[float], bool]:
+    """Block until loadavg(1m) < LOAD_GATE (polling 15 s, up to
+    $SPARK_GRAFT_BENCH_WAIT s); exit 2 if the host never settles and
+    --force wasn't given. Returns (loadavg_at_go, gate_forced)."""
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "600"))
+    deadline = time.time() + max_wait
+    load = _loadavg()
+    while load[0] >= LOAD_GATE and time.time() < deadline:
+        print(f"loadavg {load[0]} >= {LOAD_GATE} — waiting for host to idle "
+              f"({int(deadline - time.time())}s left; --force overrides)",
+              file=sys.stderr)
+        time.sleep(15.0)
+        load = _loadavg()
+    if load[0] >= LOAD_GATE:
+        if not force:
+            print(f"REFUSING to bench: loadavg {load[0]} >= {LOAD_GATE} after "
+                  f"{max_wait:.0f}s wait; rerun when idle or pass --force",
+                  file=sys.stderr)
+            sys.exit(2)
+        print(f"WARNING: benching under load {load[0]} (--force) — timings "
+              "are inflated by co-tenant load", file=sys.stderr)
+        return load, True
+    return load, False
 
 HEADLINE = [
     # the flagship near-dup pipeline stages
@@ -126,6 +169,10 @@ def _warmup(spark) -> None:
 
 
 def main() -> None:
+    force = ("--force" in sys.argv
+             or os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1")
+    load_start, gate_forced = _enforce_load_gate(force)
+
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry_mod
@@ -144,11 +191,6 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    load_start = _loadavg()
-    if load_start[0] > 1.5:
-        print(f"WARNING: loadavg {load_start[0]} > 1.5 at bench start — "
-              "co-tenant load inflates timings; prefer rerunning when idle",
-              file=sys.stderr)
     _warmup(spark)
     qs = entry_mod.queries()
     missing = sorted(set(qs) - set(HEADLINE))
@@ -182,18 +224,34 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "bench_full.json"))
+    summary = {
         "metric": "headline_queries_total_time",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "n_reps": REPS,
-        "reps": reps,
-        "rep_loadavg1": rep_load,
         "loadavg": {"start": load_start, "end": _loadavg()},
+        "gate_forced": gate_forced,
         "sf": sf_val,
         "cpus": int(CPUS),
-    }))
+        "full_artifact": out_path,
+    }
+    full = dict(summary, reps=reps, rep_loadavg1=rep_load)
+    try:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # keep the stdout contract even if the FS refuses
+        print(f"WARNING: could not write {out_path}: {e}", file=sys.stderr)
+    # the compact line is the driver contract; print it LAST-line-is-JSON
+    # safe AND short (a truncated capture of BENCH_r04.json cut a 7 KB line
+    # mid-object — the per-rep bulk now lives only in full_artifact)
+    print(json.dumps(summary))
     spark.stop()
 
 
