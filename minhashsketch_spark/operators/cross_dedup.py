@@ -179,8 +179,58 @@ def build_band_index(spark: SparkSession, index_docs: DataFrame,
     write_bucketed(
         salted.groupBy("band_key").agg(F.max("n_salt").alias("n_salt")),
         f"{table}_dim", "band_key", n_buckets, path=p("dim"))
+    if path_root:
+        # self-describing layout: a fresh driver (restarted continuous-crawl
+        # deployment) re-registers the catalog entries from this manifest
+        # via register_band_index — the bucket spec MUST match the writer
+        import json
+        import os
+
+        os.makedirs(path_root, exist_ok=True)
+        tmp = f"{path_root}/index.manifest.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": n_buckets,
+                       "tables": {"sigs": "url", "bands": "jk",
+                                  "dim": "band_key"},
+                       "config": {"k": cfg.k, "m": cfg.m, "t": cfg.t,
+                                  "bands": cfg.bands, "rows": cfg.rows,
+                                  "seed": cfg.seed, "threshold": cfg.threshold,
+                                  "bucket_cap": cfg.bucket_cap}}, f, indent=2)
+        os.replace(tmp, f"{path_root}/index.manifest.json")
     return {"sigs": f"{table}_sigs", "bands": f"{table}_bands",
             "dim": f"{table}_dim"}
+
+
+def register_band_index(spark: SparkSession, table: str, path_root: str,
+                        n_buckets: int | None = None) -> PipelineConfig:
+    """Re-attach a persisted ``build_band_index`` layout in a NEW session.
+
+    The session catalog here is in-memory (no Hive metastore — CLAUDE.md):
+    a driver restart keeps the bucketed parquet under ``path_root`` but
+    loses the catalog entries, without which ``cross_candidate_pairs_indexed``
+    cannot run at all. This reads ``index.manifest.json`` (written by
+    ``build_band_index``), re-issues the three CREATE TABLE ... CLUSTERED BY
+    DDLs with the ORIGINAL bucket spec, and returns the PipelineConfig the
+    index was built with — the caller must sign daily batches with the same
+    config or band keys won't align. Plan property preserved: index-side
+    scans stay ``Bucketed: true`` with zero index Exchange
+    (tests/test_cross_session.py runs this in a fresh subprocess driver)."""
+    import json
+
+    from ..sources.io import register_bucketed
+
+    with open(f"{path_root}/index.manifest.json") as f:
+        man = json.load(f)
+    if n_buckets is None:
+        n_buckets = man["n_buckets"]
+    elif n_buckets != man["n_buckets"]:
+        raise ValueError(
+            f"n_buckets={n_buckets} != manifest {man['n_buckets']}: the "
+            "registered spec must match the files' writer")
+    for suffix, bcol in man["tables"].items():
+        register_bucketed(spark, f"{table}_{suffix}", f"{path_root}/{suffix}",
+                          bcol, n_buckets)
+    return PipelineConfig(**man["config"])
 
 
 def cross_candidate_pairs_indexed(spark: SparkSession, new_sigs: DataFrame,

@@ -74,6 +74,31 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     w.saveAsTable(table)
 
 
+def register_bucketed(spark: SparkSession, table: str, path: str,
+                      bucket_col: str, n_buckets: int,
+                      sort: bool = True) -> None:
+    """Re-create the catalog entry for a ``write_bucketed`` table from its
+    external parquet path in a FRESH session.
+
+    Without a Hive metastore the session catalog is in-memory: a driver
+    restart loses every ``saveAsTable`` entry while the bucketed parquet
+    files (whose names carry the bucket ids) survive on disk. This issues
+    the matching ``CREATE TABLE ... USING parquet CLUSTERED BY ... INTO n
+    BUCKETS LOCATION path`` DDL so the new session's scans are again
+    ``Bucketed: true`` — the bucket SPEC must match the files' writer
+    exactly (same col, same n_buckets) or joins silently lose the
+    zero-Exchange property. Schema is inferred from the parquet footers."""
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in schema.fields)
+    sort_clause = f" SORTED BY (`{bucket_col}`)" if sort else ""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"CLUSTERED BY (`{bucket_col}`){sort_clause} INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'")
+
+
 class StageStore:
     """Checkpointed stage outputs keyed by (config_hash, stage).
 
