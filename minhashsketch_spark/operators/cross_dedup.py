@@ -36,7 +36,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..config import PipelineConfig
 from .lsh import explode_bands
@@ -46,10 +45,17 @@ from .verify import verified_pairs
 
 def _salted_index_bands(index_bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(band_key, url_idx) -> + (salt, n_salt): hot buckets split into
-    ceil(size/cap) sub-buckets by a stable url hash (resume-safe)."""
-    w = Window.partitionBy("band_key")
+    ceil(size/cap) sub-buckets by a stable url hash (resume-safe).
+
+    Sizes via hash-agg + join, not count-over-window (same two-level shape
+    as lsh.salt_hot_buckets): the window buffered a whole mega-band in one
+    task; the hash-agg partially combines and the size join is AQE
+    skew-splittable. Singleton buckets are KEPT here — unlike the
+    self-join path, a single index doc can still match a new doc."""
+    sizes = index_bands.groupBy("band_key").agg(
+        F.count("*").alias("bucket_size"))
     return (
-        index_bands.withColumn("bucket_size", F.count("*").over(w))
+        index_bands.join(sizes, "band_key")
         .withColumn("n_salt",
                     F.ceil(F.col("bucket_size") / F.lit(cfg.bucket_cap)).cast("int"))
         .withColumn("salt",

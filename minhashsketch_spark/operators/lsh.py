@@ -16,11 +16,22 @@ Scale design (the shuffle hotspot of the whole pipeline — north_rule:
   within sub-buckets only, bounding the expansion at O(s * cap) instead of
   O(s^2) while *keeping every document* (nothing is dropped).
 * **chain links**: salting alone would disconnect exact-duplicate groups
-  that straddle sub-buckets, so each hot bucket also emits a linear chain
-  of candidate pairs ordered by (sig_key, url) — identical signatures sort
-  adjacent, so exact-dup groups stay connected through verification (their
-  est_sim is 1.0) at O(s) extra candidates. False chain candidates are
-  pruned by verification, never reaching the cluster stage.
+  that straddle sub-buckets, so each hot bucket also emits chain links
+  that reconnect them: one REPRESENTATIVE (min url) per
+  (band_key, sig_key, salt) sub-group, chained across salts within
+  (band_key, sig_key). Identical signatures share sig_key, every rep is
+  connected to its sub-bucket's same-sig members by the within-salt pair
+  join (est_sim 1.0), and rep-to-rep links are also est_sim 1.0 — so
+  exact-dup groups stay connected through verification at O(s/cap) extra
+  candidates. Unlike round-4's single whole-bucket chain window, NO task
+  ever materializes a whole mega-band: the rep aggregation is a hash-agg
+  (map-side partial combine) and the chain window partitions hold at most
+  n_salt = ceil(s/cap) rows.
+* **two-level sizing** (round 5): bucket sizes come from a hash-agg joined
+  back on band_key — not a count-over-window, which buffered the entire
+  mega-bucket in a single task's window frame. The size join is an
+  equi-join against a one-row-per-key frame, so AQE skew-join can split a
+  degenerate band across tasks (a window never can).
 * pair emission via self-equi-join on (band_key, salt) with
   ``url_a < url_b``; dedup across bands with ``dropDuplicates``.
 """
@@ -47,13 +58,20 @@ def bucket_stats(bands: DataFrame) -> DataFrame:
 
 def salt_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
     """Attach (bucket_size, n_salt, salt); drop singleton buckets early
-    (they generate no pairs — the common case by far)."""
-    w = Window.partitionBy("band_key")
-    sized = bands.withColumn("bucket_size", F.count("*").over(w))
-    multi = sized.filter(F.col("bucket_size") >= 2)
+    (they generate no pairs — the common case by far).
+
+    Sizes via hash-agg + join, NOT count-over-window: the window form
+    buffers every row of a band in one task's window frame, so a single
+    degenerate band (10^9 empty pages) would concentrate on one core. The
+    aggregate partially combines map-side and the join back is an equi-join
+    against one row per key, which AQE skew-join can split."""
+    sizes = (bands.groupBy("band_key")
+             .agg(F.count("*").alias("bucket_size"))
+             .filter(F.col("bucket_size") >= 2))
     return (
-        multi.withColumn("n_salt",
-                         F.ceil(F.col("bucket_size") / F.lit(cap)).cast("int"))
+        bands.join(sizes, "band_key")  # inner join drops singletons
+        .withColumn("n_salt",
+                    F.ceil(F.col("bucket_size") / F.lit(cap)).cast("int"))
         .withColumn("salt",
                     F.when(F.col("n_salt") <= 1, F.lit(0))
                     .otherwise(F.pmod(F.xxhash64("url"), F.col("n_salt")).cast("int")))
@@ -80,10 +98,20 @@ def candidate_pairs(signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .select("url_a", "url_b")
     )
 
-    wchain = Window.partitionBy("band_key").orderBy("sig_key", "url")
-    chains = (
+    # two-level chain links (see module docstring): one rep per
+    # (band, sig, salt) sub-group via hash-agg, chained across salts. The
+    # window partition holds <= n_salt rows — no whole-band task, unlike
+    # the round-4 single chain over the entire band. Same-sig groups stay
+    # connected: rep<->member links come from the within-salt join, and
+    # rep<->rep links are same-sig (est_sim 1.0), surviving verification.
+    reps = (
         salted.filter(F.col("n_salt") > 1)
-        .withColumn("prev", F.lag("url").over(wchain))
+        .groupBy("band_key", "sig_key", "salt")
+        .agg(F.min("url").alias("url"))
+    )
+    wchain = Window.partitionBy("band_key", "sig_key").orderBy("url")
+    chains = (
+        reps.withColumn("prev", F.lag("url").over(wchain))
         .filter(F.col("prev").isNotNull())
         .select(F.least("prev", "url").alias("url_a"),
                 F.greatest("prev", "url").alias("url_b"))
