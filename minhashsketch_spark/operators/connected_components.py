@@ -93,15 +93,23 @@ def _driver_union_find(pairs: DataFrame) -> DataFrame:
 
 
 def connected_components(pairs: DataFrame, max_iterations: int = 20,
-                         small_graph_threshold: int = 200_000) -> DataFrame:
+                         small_graph_threshold: int = 200_000,
+                         n_edges: int | None = None) -> DataFrame:
     """pairs(url_a, url_b) -> clusters(url, cluster_id).
 
     Only nodes that appear in an edge are assigned (singletons are their own
     implicit cluster — callers union them in if needed).
+
+    ``n_edges``: the caller's known edge count (stage manifests carry it
+    after a checkpoint) — passing it skips the fast-path probe job, one
+    fewer full scan of ``pairs`` at scale.
     """
     spark = pairs.sparkSession
-    if small_graph_threshold > 0 and pairs.count() <= small_graph_threshold:
-        return _driver_union_find(pairs)
+    if small_graph_threshold > 0:
+        if n_edges is None:
+            n_edges = pairs.count()
+        if n_edges <= small_graph_threshold:
+            return _driver_union_find(pairs)
     url_ids = (
         pairs.select(F.col("url_a").alias("url"))
         .union(pairs.select(F.col("url_b").alias("url")))

@@ -47,14 +47,29 @@ def input_fingerprint(docs: DataFrame) -> str:
     """Short fingerprint of a DataFrame's INPUT identity, for folding into
     persistent checkpoint stage keys: same config + different corpus must
     not resume from the old corpus's stages. File-based sources fingerprint
-    as the sorted file list; in-memory/derived frames fall back to the
-    analyzed plan's semantic hash."""
+    as the sorted (path, length, mtime) list — name-only fingerprints let
+    an in-place rewrite (same file names, new bytes) silently resume stale
+    stages. Stats come from the Hadoop FileSystem of each path (works for
+    file:/hdfs:/s3a:; one driver metadata call per file); a path whose
+    stats are unreadable contributes its name alone. In-memory/derived
+    frames fall back to the analyzed plan's semantic hash."""
     try:
         files = sorted(docs.inputFiles())
     except Exception:
         files = []
     if files:
-        payload = json.dumps(files)
+        sc = docs.sparkSession.sparkContext
+        hconf = sc._jsc.hadoopConfiguration()
+        jpath = sc._jvm.org.apache.hadoop.fs.Path
+        entries = []
+        for f in files:
+            try:
+                p = jpath(f)
+                st = p.getFileSystem(hconf).getFileStatus(p)
+                entries.append([f, st.getLen(), st.getModificationTime()])
+            except Exception:
+                entries.append([f, None, None])
+        payload = json.dumps(entries)
     else:
         payload = f"plan:{docs._jdf.queryExecution().analyzed().semanticHash()}"
     return hashlib.sha256(payload.encode()).hexdigest()[:12]
@@ -92,13 +107,15 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                    str(cfg.arrow_batch_rows))
 
-    def stage(name: str, build, metrics=None) -> DataFrame:
+    def stage(name: str, build, metrics=None, extra_aggs=None) -> DataFrame:
         if store is not None and store.exists(name):
             return store.read(name)
         t0 = time.time()
         df = build()
         if store is not None:
-            df = store.write(name, df, metrics={} if metrics is None else metrics())
+            df = store.write(name, df,
+                             metrics={} if metrics is None else metrics(),
+                             extra_aggs=extra_aggs)
         timings[name] = time.time() - t0
         return df
 
@@ -117,11 +134,19 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
     candidates = stage("candidates", lambda: candidate_pairs(signatures, cfg),
                        metrics=cand_metrics)
     verified = stage("verified",
-                     lambda: verified_pairs(candidates, signatures, docs, cfg, url_col, text_col))
+                     lambda: verified_pairs(candidates, signatures, docs, cfg, url_col, text_col),
+                     # counted inside the lineage job — the clusters stage
+                     # reads it from the manifest instead of re-counting
+                     extra_aggs={"n_dup_pairs":
+                                 F.sum(F.col("is_dup").cast("long"))})
+    n_edges = None
+    if store is not None and store.exists("verified"):
+        m = store.manifest("verified").get("metrics", {})
+        n_edges = m.get("n_dup_pairs")
     clusters = stage("clusters",
                      lambda: connected_components(
                          verified.filter("is_dup").select("url_a", "url_b"),
-                         cfg.max_cc_iterations))
+                         cfg.max_cc_iterations, n_edges=n_edges))
     return {
         "signatures": signatures,
         "candidates": candidates,

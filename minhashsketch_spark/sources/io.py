@@ -128,7 +128,12 @@ class StageStore:
     def read(self, stage: str) -> DataFrame:
         return read_table(self.spark, self._path(stage))
 
-    def write(self, stage: str, df: DataFrame, metrics: dict | None = None) -> DataFrame:
+    def write(self, stage: str, df: DataFrame, metrics: dict | None = None,
+              extra_aggs: dict | None = None) -> DataFrame:
+        """``extra_aggs``: named aggregate Columns (e.g. a dup-pair count)
+        computed in the SAME job as the per-partition lineage counts —
+        downstream stages read them from the manifest instead of paying an
+        extra count() over the checkpointed table."""
         from pyspark.sql import functions as F
 
         path = self._path(stage)
@@ -137,9 +142,13 @@ class StageStore:
         # per-partition lineage: row counts per partition of the written
         # table (north_rule: "per-partition lineage + metrics") — skew in
         # these numbers is the first thing to look at when a stage is slow
-        ppart = [r["count"] for r in
-                 out.groupBy(F.spark_partition_id().alias("pid")).count()
-                 .orderBy("pid").collect()]
+        aggs = [F.count("*").alias("count")]
+        aggs += [expr.alias(f"_x_{k}") for k, expr in (extra_aggs or {}).items()]
+        per = (out.groupBy(F.spark_partition_id().alias("pid")).agg(*aggs)
+               .orderBy("pid").collect())
+        ppart = [r["count"] for r in per]
+        extra_totals = {k: int(sum(r[f"_x_{k}"] or 0 for r in per))
+                        for k in (extra_aggs or {})}
         manifest = {
             "stage": stage,
             "config_hash": self.config_hash,
@@ -151,7 +160,7 @@ class StageStore:
                 "max": max(ppart) if ppart else 0,
                 "mean": round(sum(ppart) / len(ppart), 1) if ppart else 0,
             },
-            "metrics": metrics or {},
+            "metrics": {**(metrics or {}), **extra_totals},
         }
         tmp = self._manifest_path(stage) + ".tmp"
         with open(tmp, "w") as f:

@@ -238,3 +238,35 @@ def test_kill_mid_stage_resume(spark, tmp_path):
     assert "candidates" in r2["timings"]              # killed stage recomputed
     got = sorted((r["url"], r["cluster_id"]) for r in r2["clusters"].collect())
     assert got == want
+
+
+def test_input_fingerprint_detects_in_place_rewrite(spark, tmp_path):
+    """ADVICE r4: a name-only fingerprint let an in-place rewrite (same
+    file names, new bytes) resume stale stages; (path, len, mtime) must
+    change the key."""
+    import time as _time
+
+    from minhashsketch_spark.pipeline import input_fingerprint
+
+    p = str(tmp_path / "docs")
+    docs_df, _ = corpus_dataframe(spark, n_docs=20, seed=5)
+    docs_df.coalesce(1).write.mode("overwrite").parquet(p)
+    fp1 = input_fingerprint(spark.read.parquet(p))
+    _time.sleep(1.1)  # mtime granularity
+    docs2, _ = corpus_dataframe(spark, n_docs=21, seed=6)
+    docs2.coalesce(1).write.mode("overwrite").parquet(p)
+    fp2 = input_fingerprint(spark.read.parquet(p))
+    assert fp1 != fp2
+
+
+def test_verified_manifest_carries_dup_pair_count(spark, tmp_path):
+    """The clusters stage reads n_dup_pairs from the verified manifest
+    (computed inside the lineage job) instead of re-counting the edges."""
+    from minhashsketch_spark.sources.io import StageStore
+
+    docs_df, _ = corpus_dataframe(spark, n_docs=80, seed=13)
+    root = str(tmp_path / "ckpt")
+    r = run_pipeline(spark, docs_df, CFG, checkpoint_root=root)
+    store = StageStore(spark, root, CFG.config_hash())
+    m = store.manifest("verified")["metrics"]
+    assert m["n_dup_pairs"] == r["verified"].filter("is_dup").count()
