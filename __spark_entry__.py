@@ -895,7 +895,9 @@ def _q_streaming_dedup(spark, sf_dir):
              F.lit("en").alias("lang"))
      .coalesce(2).write.parquet(f"{tmp}/in"))
     q = streaming_exact_dedup(spark, f"{tmp}/in", f"{tmp}/ckpt", f"{tmp}/out")
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):  # ADVICE r4: a timed-out drain must fail
+        q.stop()                     # loudly, not read a partial output dir
+        raise TimeoutError("streaming_dedup did not drain in 300s")
     return spark.read.parquet(f"{tmp}/out")
 
 
@@ -950,7 +952,9 @@ def _q_streaming_incremental_dedup(spark, sf_dir):
     q = streaming_incremental_dedup(
         spark, f"{tmp}/in", "mhs_incr", f"{tmp}/delta",
         f"{tmp}/pairs", f"{tmp}/ckpt", CFG)
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):  # ADVICE r4: fail loudly on slow drain
+        q.stop()
+        raise TimeoutError("streaming_incremental_dedup did not drain in 600s")
     pairs = spark.read.parquet(f"{tmp}/pairs")
     return (pairs.filter(F.col("jaccard") >= F.lit(CFG.threshold))
             .select("url_new", "url_idx", F.round("jaccard", 6).alias("jaccard")))

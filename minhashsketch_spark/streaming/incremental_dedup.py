@@ -37,12 +37,40 @@ from ..operators.verify import verified_pairs
 from .ingest import DOCS_SCHEMA
 
 
+def _delta_present(spark: SparkSession, delta_path: str) -> bool:
+    """Explicit existence probe via the Hadoop FileSystem (any scheme) —
+    NOT a bare except around the read: a corrupt footer / permission /
+    transient FS error must raise, or the batch silently verifies against
+    an incomplete index and misses dup pairs (ADVICE r4)."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(delta_path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            return True
+    return False  # dir exists but holds no data (e.g. only _SUCCESS)
+
+
+def _clear_delta(spark: SparkSession, delta_path: str) -> None:
+    """Remove the delta recursively via the Hadoop FileSystem and RAISE on
+    failure — shutil.rmtree(ignore_errors=True) was a silent no-op on
+    non-local storage, leaving delta docs in both index and delta."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(delta_path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(jpath) and not fs.delete(jpath, True):
+        raise IOError(f"failed to clear compacted delta at {delta_path}; "
+                      "the next compaction would fold these docs in twice")
+
+
 def _read_delta(spark: SparkSession, delta_path: str,
                 exclude_batch: int) -> DataFrame | None:
-    try:
-        delta = spark.read.parquet(delta_path)
-    except Exception:  # first batch: no delta yet
+    if not _delta_present(spark, delta_path):  # first batch: no delta yet
         return None
+    delta = spark.read.parquet(delta_path)
     return delta.filter(F.col("batch_id") != exclude_batch)
 
 
@@ -75,12 +103,20 @@ def dedup_batch_against_index(spark: SparkSession, batch_df: DataFrame,
             .dropDuplicates(["url_new", "url_idx"])
             .select(F.col("url_new").alias("url_a"),
                     F.col("url_idx").alias("url_b")))
+    # a url may legitimately appear on BOTH the index and delta side of the
+    # union during the compaction crash window (folded into _sigs, delta
+    # not yet cleared); signatures/texts are deterministic per url, so
+    # dedup here keeps the later verification joins from multiplying pair
+    # rows (ADVICE r4 — the candidate-side dropDuplicates alone ran before
+    # these joins)
     all_sigs = sigs[0]
     for s in sigs[1:]:
         all_sigs = all_sigs.unionByName(s)
+    all_sigs = all_sigs.dropDuplicates(["url"])
     all_docs = docs[0]
     for d in docs[1:]:
         all_docs = all_docs.unionByName(d)
+    all_docs = all_docs.dropDuplicates(["url"])
     ver = verified_pairs(cand, all_sigs, all_docs, cfg,
                          checkpoint_sigs=False)  # batch ckpt'd, rest parquet
     return ver.select(F.col("url_a").alias("url_new"),
@@ -146,25 +182,38 @@ def compact_band_index(spark: SparkSession, index_table: str,
 
     Reads the existing ``<index_table>_sigs`` + the delta's signatures
     (both already computed — the signature UDF never re-runs), unions
-    them, rewrites the three bucketed tables, then clears the delta. A
-    crash before the delta clear leaves delta docs present in both the
-    index and the delta: candidates duplicate, pairs don't
-    (dropDuplicates), so the job is safely re-runnable. Returns the
-    number of docs folded in.
+    them WITH a per-url dedup, rewrites the three bucketed tables
+    (sigs, then dim, then bands), then clears the delta. Crash-window
+    analysis (ADVICE r4 — every interleaving must be re-runnable without
+    duplicating index rows or silently losing pairs):
+
+    * after the ``_sigs`` rewrite, before the delta clear: a re-run unions
+      the delta in a second time — ``dropDuplicates(["url"])`` makes that
+      a no-op (signatures are deterministic per url), and batches running
+      in the window dedup their sig/doc unions per url too.
+    * between the table writes: ``_dim`` is rewritten BEFORE ``_bands``.
+      Bucket sizes only grow (docs never leave the index), so n_salt is
+      monotone — a new ``_dim`` over old ``_bands`` makes batches probe a
+      SUPERSET of the stored salts (extra empty probes, nothing missed);
+      the old order left unreachable salts in ``_bands`` (silent pair
+      loss until the next compaction).
+    * the delta clear raises on failure instead of silently no-op'ing.
+
+    Returns the number of docs folded in.
     """
     from ..operators.cross_dedup import _jk, _salted_index_bands
     from ..sources.io import write_bucketed
 
     sig_cols = ["url", "sig_key", "sig", "bands", "text"]
-    try:
-        delta = spark.read.parquet(delta_path)
-    except Exception:
+    if not _delta_present(spark, delta_path):
         return 0
+    delta = spark.read.parquet(delta_path)
     n_delta = delta.count()
     if n_delta == 0:
         return 0
     merged = (spark.table(f"{index_table}_sigs").select(*sig_cols)
               .unionByName(delta.select(*sig_cols))
+              .dropDuplicates(["url"])
               .localCheckpoint())  # sever lineage from the table being rewritten
 
     def p(suffix: str) -> str | None:
@@ -176,15 +225,16 @@ def compact_band_index(spark: SparkSession, index_table: str,
     ib = (stored.select("url", F.explode("bands").alias("band_key"))
           .select("band_key", F.col("url").alias("url_idx")))
     salted = _salted_index_bands(ib, cfg)
+    # the bands table is derived twice (dim first — see docstring crash
+    # analysis); materialize so the salting join isn't re-planned per write
+    salted = salted.localCheckpoint()
+    write_bucketed(
+        salted.groupBy("band_key").agg(F.max("n_salt").alias("n_salt")),
+        f"{index_table}_dim", "band_key", n_buckets, path=p("dim"))
     write_bucketed(
         salted.select(_jk(F.col("band_key"), F.col("salt")).alias("jk"),
                       "band_key", "salt", "url_idx"),
         f"{index_table}_bands", "jk", n_buckets, path=p("bands"))
-    write_bucketed(
-        salted.groupBy("band_key").agg(F.max("n_salt").alias("n_salt")),
-        f"{index_table}_dim", "band_key", n_buckets, path=p("dim"))
-    # clear the delta LAST (see crash note above)
-    import shutil
-
-    shutil.rmtree(delta_path, ignore_errors=True)
+    # clear the delta LAST (see crash note above); raises on failure
+    _clear_delta(spark, delta_path)
     return n_delta

@@ -19,7 +19,7 @@ def test_incremental_signatures_match_batch(spark, tmp_path):
     docs_df.repartition(4).write.parquet(inp)
 
     q = incremental_signatures(spark, inp, out, ckpt, CFG)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
 
     got = {r["url"]: r["sig"] for r in spark.read.parquet(out).collect()}
     want = {r["url"]: r["sig"] for r in compute_signatures(docs_df, CFG).collect()}
@@ -29,7 +29,7 @@ def test_incremental_signatures_match_batch(spark, tmp_path):
 
     # drain again: checkpoint prevents reprocessing -> no duplicate rows
     q2 = incremental_signatures(spark, inp, out, ckpt, CFG)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "stream did not drain in 120s"
     n = spark.read.parquet(out).count()
     assert n == len(want)
 
@@ -64,7 +64,7 @@ def test_windowed_event_counts_match_batch(spark, tmp_path):
     events.repartition(3).write.parquet(inp)
 
     q = windowed_event_counts(spark, inp, query_name="we_test")
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM we_test").collect())
     want = sorted(tuple(r) for r in batch_windowed_event_counts(events).collect())
     assert got == want and len(got) > 0
@@ -89,7 +89,7 @@ def test_stateful_dedup_first_seen_and_state_survives_restart(spark, tmp_path):
     docs_df.coalesce(2).write.parquet(inp)
 
     q = streaming_exact_dedup(spark, inp, ckpt, out)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = {r["fingerprint"]: (r["url"], r["n_chars"])
            for r in spark.read.parquet(out).collect()}
     want = {r["fingerprint"]: (r["url"], r["n_chars"])
@@ -105,7 +105,7 @@ def test_stateful_dedup_first_seen_and_state_survives_restart(spark, tmp_path):
     extra.coalesce(1).write.mode("append").parquet(inp)
 
     q2 = streaming_exact_dedup(spark, inp, ckpt, out)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "stream did not drain in 120s"
     rows = spark.read.parquet(out).collect()
     fps = [r["fingerprint"] for r in rows]
     assert len(fps) == len(set(fps)), "a fingerprint was emitted twice"
@@ -162,7 +162,7 @@ def test_incremental_near_dedup_drains_and_resumes(spark, tmp_path):
         land(1, 1700000000)
         q = streaming_incremental_dedup(spark, inp, "t_incr", delta,
                                         pairs, ckpt, cfg)
-        q.awaitTermination(240)
+        assert q.awaitTermination(240), "stream did not drain in 240s"
         p1 = spark.read.parquet(pairs).filter("is_dup") \
             .select("url_new", "url_idx").collect()
         got1 = {(r["url_new"], r["url_idx"]) for r in p1}
@@ -172,7 +172,7 @@ def test_incremental_near_dedup_drains_and_resumes(spark, tmp_path):
         land(2, 1700000100)
         q = streaming_incremental_dedup(spark, inp, "t_incr", delta,
                                         pairs, ckpt, cfg)  # same checkpoint
-        q.awaitTermination(240)
+        assert q.awaitTermination(240), "stream did not drain in 240s"
         p2 = spark.read.parquet(pairs).filter("is_dup") \
             .select("url_new", "url_idx").collect()
         got2 = {(r["url_new"], r["url_idx"]) for r in p2}
@@ -194,7 +194,7 @@ def test_incremental_near_dedup_drains_and_resumes(spark, tmp_path):
         land(3, 1700000200)
         q = streaming_incremental_dedup(spark, inp, "t_incr", delta,
                                         pairs, ckpt, cfg)
-        q.awaitTermination(240)
+        assert q.awaitTermination(240), "stream did not drain in 240s"
         p3 = spark.read.parquet(pairs).filter("is_dup") \
             .select("url_new", "url_idx").collect()
         got3 = {(r["url_new"], r["url_idx"]) for r in p3}
@@ -205,3 +205,64 @@ def test_incremental_near_dedup_drains_and_resumes(spark, tmp_path):
     finally:
         for s in ("sigs", "bands", "dim"):
             spark.sql(f"DROP TABLE IF EXISTS t_incr_{s}")
+
+
+def test_compaction_crash_window_is_idempotent(spark, tmp_path):
+    """ADVICE r4: a crash after the _sigs rewrite but before the delta
+    clear leaves delta docs in BOTH index and delta. A batch running in
+    that window must not emit duplicate pair rows, and a compaction re-run
+    must not fold the delta in twice (no duplicate urls in _sigs)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from minhashsketch_spark.operators.cross_dedup import build_band_index
+    from minhashsketch_spark.streaming.incremental_dedup import (
+        compact_band_index,
+        dedup_batch_against_index,
+    )
+
+    def tier(t):
+        rows = []
+        for g in range(4):
+            body = " ".join(f"grp{g}tok{i}word" for i in range(40))
+            rows.append((f"t{t}-g{g}", body + f" tier {t} tail"))
+        return spark.createDataFrame(rows, "url string, text string")
+
+    cfg = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=3, threshold=0.7)
+    delta = str(tmp_path / "delta")
+    try:
+        build_band_index(spark, tier(0).localCheckpoint(), cfg, "t_cw",
+                         n_buckets=4, path_root=str(tmp_path / "idx"))
+        # delta partition for batch 1 (what the stream handler writes)
+        from minhashsketch_spark.operators.signatures import compute_signatures
+
+        b1 = tier(1).localCheckpoint()
+        (compute_signatures(b1, cfg).join(b1, "url")
+         .withColumn("batch_id", F.lit(1))
+         .write.partitionBy("batch_id").parquet(delta))
+        saved = str(tmp_path / "delta_saved")
+        shutil.copytree(delta, saved)
+
+        assert compact_band_index(spark, "t_cw", delta, cfg, n_buckets=4,
+                                  path_root=str(tmp_path / "idx2")) == 4
+        # simulate the crash window: _sigs already holds batch 1, and the
+        # delta clear "didn't happen"
+        shutil.copytree(saved, delta)
+
+        ver = dedup_batch_against_index(spark, tier(2), 2, "t_cw", delta, cfg)
+        rows = ver.filter("is_dup").select("url_new", "url_idx").collect()
+        got = [(r["url_new"], r["url_idx"]) for r in rows]
+        want = {(f"t2-g{g}", f"t{t}-g{g}") for g in range(4) for t in (0, 1)}
+        assert set(got) == want
+        assert len(got) == len(want), "window batch emitted duplicate rows"
+
+        # re-run compaction over the restored delta: must converge, not
+        # double-fold
+        assert compact_band_index(spark, "t_cw", delta, cfg, n_buckets=4,
+                                  path_root=str(tmp_path / "idx3")) == 4
+        sigs = spark.table("t_cw_sigs")
+        assert sigs.count() == sigs.select("url").distinct().count() == 8
+    finally:
+        for s in ("sigs", "bands", "dim"):
+            spark.sql(f"DROP TABLE IF EXISTS t_cw_{s}")
