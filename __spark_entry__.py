@@ -9,6 +9,8 @@
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -253,6 +255,51 @@ def _q_multimodal_features(spark, sf_dir):
     media = MM.media_from_documents(_docs(spark, sf_dir))
     feats = MM.extract_features(media, fake=False)
     return feats.select("media_id", "kind", "n_bytes",
+                        F.element_at("hist", 1).alias("h0"),
+                        F.element_at("hist", 25).alias("h24"))
+
+
+def _jpeg_payload_from_text(txt: str) -> bytes:
+    """Deterministic 12x12 RGB image from a doc's first 432 utf-8 bytes
+    (zero-padded), encoded as a REAL baseline JPEG — 4:2:0 with restart
+    markers so the general decoder paths run, not just the 4:4:4 one."""
+    import numpy as np
+
+    from minhashsketch_spark.core.jpeg import encode_baseline_jpeg
+
+    raw = np.frombuffer(txt.encode("utf-8")[:432], np.uint8)
+    buf = np.zeros(432, np.uint8)
+    buf[:raw.size] = raw
+    return encode_baseline_jpeg(buf.reshape(12, 12, 3), subsampling="420",
+                                restart_interval=2)
+
+
+def _q_jpeg_features(spark, sf_dir):
+    """Baseline-JPEG decode (core/jpeg.py, pure-NumPy T.81) through the
+    distributed Arrow feature UDF: per-doc JPEG payloads are built in one
+    mapInPandas pass and extract_features decodes the real bytes
+    (fake=False). Semi-oracle: a VALUES table recomputed driver-side with
+    the same public codec over pyarrow-read parquet (the driver runs
+    oracles at sf0.01 only — documented coupling, IVF precedent); codec
+    correctness itself is pinned by roundtrip pytests."""
+    import pandas as pd
+
+    from minhashsketch_spark.partitioning import ensure_parallelism
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].values,
+                "kind": "image",
+                "payload": [bytearray(_jpeg_payload_from_text(t))
+                            for t in pdf["text"].values],
+            })
+
+    media = ensure_parallelism(
+        _docs(spark, sf_dir).select("doc_id", "text")).mapInPandas(
+        gen, schema="media_id bigint, kind string, payload binary")
+    feats = MM.extract_features(media, fake=False)
+    return feats.select("media_id", "n_bytes",
                         F.element_at("hist", 1).alias("h0"),
                         F.element_at("hist", 25).alias("h24"))
 
@@ -1033,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         # multimodal plumbing
         "multimodal_features": _q_multimodal_features,
+        "jpeg_features": _q_jpeg_features,
         "audio_stats": _q_audio_stats,
         "corpus_sketch": _q_corpus_sketch,
         "substring_dups": _q_substring_dups,
@@ -1617,6 +1665,32 @@ _CROSS_CORPUS_ORACLE = f"""
 """
 
 
+@functools.lru_cache(maxsize=2)
+def _jpeg_features_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Semi-oracle for jpeg_features: recompute payload -> decode -> hist
+    driver-side with the same public T.81 codec over pyarrow-read parquet
+    and pin the result as a literal VALUES table. Cached — the codec
+    roundtrip over 500 docs costs ~1 s and oracle_sql() is re-called per
+    driver-compare."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from minhashsketch_spark.core.jpeg import decode_baseline_jpeg
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = []
+    for doc_id, txt in zip(t.column("doc_id").to_pylist(),
+                           t.column("text").to_pylist()):
+        buf = _jpeg_payload_from_text(txt)
+        h = np.bincount(decode_baseline_jpeg(buf).reshape(-1) >> 2,
+                        minlength=64)
+        rows.append(f"({doc_id}, {len(buf)}, {int(h[0])}, {int(h[24])})")
+    return ("SELECT media_id::BIGINT AS media_id, n_bytes::BIGINT AS n_bytes, "
+            "h0::INT AS h0, h24::INT AS h24 FROM (VALUES "
+            + ", ".join(rows) + ") AS t(media_id, n_bytes, h0, h24)")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "curated_corpus": _CURATED_CORPUS_ORACLE,
@@ -1772,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
         # zero-padded by the decoder; hist bins are byte-value // 4.
         # LEFT JOIN from the per-doc spine so npix=0 docs survive with the
         # all-padding histogram (h0=192) instead of vanishing from the unnest
+        "jpeg_features": _jpeg_features_oracle(),
         "multimodal_features": """
             WITH px AS (
               SELECT doc_id, hex(encode(text)) AS hx,

@@ -120,6 +120,7 @@ HEADLINE = [
     # multimodal + event analytics
     "audio_stats",
     "multimodal_features",
+    "jpeg_features",
     "user_sessions",
     "windowed_event_counts",
     "streaming_dedup",

@@ -1,13 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode step is REAL for two container formats a pure-NumPy decoder can
-handle — binary PPM (P6) and uncompressed 24-bit BMP — so the pipeline runs
-``fake=False`` end-to-end on real image bytes. Formats that need codec
-libraries (JPEG/PNG/audio/video — not in this container) raise
-``NotImplementedError`` unless ``fake=True`` substitutes a deterministic
-byte-histogram stand-in. The Spark-side plumbing — schema, partitioning,
-Arrow batch shape, UDF signatures — is identical either way.
+The decode step is REAL for three image formats — binary PPM (P6),
+uncompressed 24-bit BMP, and baseline sequential JPEG (core/jpeg.py, a
+pure-NumPy T.81 decoder incl. 4:2:0 and restart markers) — so the pipeline
+runs ``fake=False`` end-to-end on real crawl image bytes. Formats that
+still need codec libraries (progressive JPEG, PNG, audio/video codecs)
+raise ``NotImplementedError`` unless ``fake=True`` substitutes a
+deterministic byte-histogram stand-in. The Spark-side plumbing — schema,
+partitioning, Arrow batch shape, UDF signatures — is identical either way.
 """
 
 from __future__ import annotations
@@ -78,10 +79,16 @@ def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from ..core.jpeg import decode_baseline_jpeg
+
+        return decode_baseline_jpeg(payload)
     if not fake:
         raise NotImplementedError(
-            "only PPM(P6)/BMP decode in this container (no PIL/opencv); "
-            "pass fake=True for the deterministic byte-histogram stand-in")
+            "only PPM(P6)/BMP/baseline-JPEG decode in this container (no "
+            "PIL/opencv — core/jpeg.py is a pure-NumPy T.81 baseline "
+            "decoder; progressive JPEG and PNG remain out of scope); pass "
+            "fake=True for the deterministic byte-histogram stand-in")
     return np.frombuffer(payload, dtype=np.uint8)
 
 

@@ -139,3 +139,76 @@ def test_feature_oracles_keep_empty_docs(spark, tmp_path):
         orows = sorted(tuple(r[ocols.index(c)] for c in sorted(ocols)) for r in ores)
         assert len(srows) == 3 == len(orows), f"{name}: empty doc dropped"
         assert srows == orows, f"{name}: engines disagree on empty-doc corpus"
+
+
+# ---------------------------------------------------------------- JPEG
+
+def _grad_img(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([60 + x * 2 + y, 100 + x, 80 + y * 2],
+                    axis=2).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sub,ri", [("444", 0), ("444", 3),
+                                    ("420", 0), ("420", 3)])
+def test_jpeg_roundtrip_within_quantization_error(sub, ri):
+    from minhashsketch_spark.core.jpeg import (decode_baseline_jpeg,
+                                               encode_baseline_jpeg)
+
+    img = _grad_img(37, 50)
+    buf = encode_baseline_jpeg(img, subsampling=sub, restart_interval=ri)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    dec = decode_baseline_jpeg(buf)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # smooth content: error bounded by Annex-K quantization, not codec bugs
+    assert err.max() <= 12 and err.mean() < 3.0
+
+
+def test_jpeg_flat_image_is_exact_and_deterministic():
+    from minhashsketch_spark.core.jpeg import (decode_baseline_jpeg,
+                                               encode_baseline_jpeg)
+
+    flat = np.full((16, 24, 3), 128, np.uint8)
+    b1, b2 = encode_baseline_jpeg(flat), encode_baseline_jpeg(flat)
+    assert b1 == b2  # same pixels -> same bytes
+    assert np.abs(decode_baseline_jpeg(b1).astype(int) - 128).max() == 0
+
+
+def test_jpeg_grayscale_and_error_paths():
+    from minhashsketch_spark.core.jpeg import (decode_baseline_jpeg,
+                                               encode_baseline_jpeg)
+
+    g = ((np.add.outer(np.arange(20), np.arange(30))) % 180).astype(np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(g))
+    assert dec.shape == (20, 30, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 4
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(b"\x89PNG")
+    # progressive (SOF2) is declared out of scope, not silently wrong
+    buf = bytearray(encode_baseline_jpeg(g))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_baseline_jpeg(bytes(buf))
+    with pytest.raises(ValueError):  # truncated entropy data
+        decode_baseline_jpeg(encode_baseline_jpeg(g)[:-40])
+
+
+def test_extract_features_decodes_real_jpeg_spark(spark):
+    """VERDICT r4 #6: extract_features handles a real JPEG fixture
+    end-to-end (fake=False) — the Spark histogram equals the local decode's
+    histogram exactly."""
+    from minhashsketch_spark.core.jpeg import (decode_baseline_jpeg,
+                                               encode_baseline_jpeg)
+
+    img = _grad_img(24, 24)
+    buf = encode_baseline_jpeg(img, subsampling="420", restart_interval=2)
+    rows = [(1, "image", bytearray(buf))]
+    media = spark.createDataFrame(
+        rows, schema="media_id bigint, kind string, payload binary")
+    got = MM.extract_features(media, fake=False).collect()[0]
+    want = np.bincount(decode_baseline_jpeg(buf).reshape(-1) >> 2,
+                       minlength=64)
+    assert list(got["hist"]) == list(want)
+    assert got["n_bytes"] == len(buf)
