@@ -806,11 +806,12 @@ def _q_html_extract(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     # entity gauntlet appended inside the body: curly quote (dec), emoji
     # (hex, 4-byte), nbsp, capital-X hex, amp-guard (&amp;#65; must stay a
-    # literal &#65;), an out-of-range ref (left literal), plus the five
+    # literal &#65;), the chained ref &#38;lt; (must stay a literal &lt; —
+    # ADVICE r4 single-pass guard), an out-of-range ref (left literal), and
     # named entities — the oracle re-runs the identical wrap + extract
     html = F.concat(F.lit(b"<html><body>"), F.encode("text", "utf-8"),
                     F.lit(b"</body><p>&#8217;s &#x1F600; a&#xA0;b &#X41; "
-                          b"&amp;#65; &#1114112; &lt;x&gt;&quot;&#39;"
+                          b"&amp;#65; &#38;lt; &#1114112; &lt;x&gt;&quot;&#39;"
                           b"</p></html>"))
     wrapped = docs.select("doc_id", html.alias("html"))
     ext = extract_text(wrapped, html_col="html", out_col="extracted_text")
@@ -1571,7 +1572,7 @@ def _html_extract_oracle() -> str:
     named entities with &amp; last — the exact single-pass order the
     operator uses."""
     suffix = ("</body><p>&#8217;s &#x1F600; a&#xA0;b &#X41; "
-              "&amp;#65; &#1114112; &lt;x&gt;&quot;&#39;</p></html>")
+              "&amp;#65; &#38;lt; &#1114112; &lt;x&gt;&quot;&#39;</p></html>")
     ent = "split_part(x, chr(2), 1)"
     rest = f"substr(x, length({ent}) + 2)"
     body = f"substr({ent}, 3, length({ent}) - 3)"
@@ -1580,7 +1581,8 @@ def _html_extract_oracle() -> str:
           f"ELSE ({body})::BIGINT END)")
     valid = f"({cp} >= 1 AND {cp} <= 1114111 AND NOT ({cp} >= 55296 AND {cp} <= 57343))"
     decode_elem = (f"CASE WHEN strpos(x, chr(2)) = 0 THEN x "
-                   f"ELSE (CASE WHEN {valid} THEN chr({cp}::INT) "
+                   f"ELSE (CASE WHEN {valid} THEN (CASE WHEN {cp} = 38 "
+                   f"THEN chr(3) ELSE chr({cp}::INT) END) "
                    f"ELSE {ent} END) || {rest} END")
     return f"""
         WITH h AS (
@@ -1606,12 +1608,16 @@ def _html_extract_oracle() -> str:
           SELECT doc_id,
                  replace(replace(replace(replace(replace(s,
                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                   '&#39;', chr(39)), '&amp;', '&') AS extracted_text
+                   '&#39;', chr(39)), '&amp;', '&') AS extracted_text0
           FROM numdec
+        ),
+        r AS (
+          SELECT doc_id, replace(extracted_text0, chr(3), '&') AS extracted_text
+          FROM e
         )
         SELECT doc_id, md5(extracted_text) AS extracted_md5,
                length(extracted_text) AS n_chars
-        FROM e
+        FROM r
     """
 
 

@@ -16,9 +16,11 @@ element with a pure-Column UTF-8 byte builder — still one narrow
 projection. Code points are decoded for 1 <= cp <= 0x10FFFF excluding
 surrogates; anything else (overflow digits, cp 0) is left literally, and
 named entities are processed AFTER numeric ones with ``&amp;`` last, so
-``&amp;#65;`` correctly yields the literal ``&#65;`` (single-pass
-semantics). Raw \\x01/\\x02 bytes in the input would confuse the markers;
-both are invalid in HTML.
+``&amp;#65;`` correctly yields the literal ``&#65;``, and a numeric ref
+decoding to ``&`` (``&#38;``) is emitted as a marker and restored only
+after the named pass, so ``&#38;lt;`` yields the literal ``&lt;`` —
+single-pass semantics in both directions. Raw \\x01/\\x02/\\x03 bytes in
+the input would confuse the markers; all are invalid in HTML.
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ from pyspark.sql import functions as F
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
              ("&#39;", "'"), ("&amp;", "&")]
 
-_M1, _M2 = "\x01", "\x02"
+_M1, _M2, _M3 = "\x01", "\x02", "\x03"
 _NUMREF = r"&#([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});"
 
 
@@ -71,8 +73,13 @@ def _decode_numeric_refs(s):
         digits = F.when(is_hex, F.substring(body, 2, F.length(body))).otherwise(body)
         cp = F.when(is_hex, F.conv(digits, 16, 10)).otherwise(digits).cast("bigint")
         valid = (cp >= 1) & (cp <= 0x10FFFF) & ~((cp >= 0xD800) & (cp <= 0xDFFF))
+            # a decoded '&' (cp 38) must NOT be visible to the later named-
+        # entity pass ('&#38;lt;' is literal '&lt;', not '<' — single-pass
+        # semantics, ADVICE r4); emit a marker and restore it after the
+        # named replaces (extract_text)
+        decoded = F.when(cp == 38, F.lit(_M3)).otherwise(_utf8_chr(cp))
         return F.when(~e.contains(_M2), e).otherwise(
-            F.concat(F.when(valid, _utf8_chr(cp)).otherwise(ent), rest))
+            F.concat(F.when(valid, decoded).otherwise(ent), rest))
 
     return F.array_join(F.transform(F.split(marked, _M1), decode_elem), "")
 
@@ -85,4 +92,7 @@ def extract_text(docs: DataFrame, html_col: str = "html",
     s = _decode_numeric_refs(s)
     for ent, ch in _ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))
+    # restore numeric-decoded ampersands AFTER the named pass (see
+    # _decode_numeric_refs: keeps '&#38;lt;' a literal '&lt;')
+    s = F.replace(s, F.lit(_M3), F.lit("&"))
     return docs.withColumn(out_col, s)

@@ -110,3 +110,15 @@ def test_simhash_arrow_equals_jvm_spelling(spark):
     ca = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
     cb = {r["doc_id"]: r["simhash"] for r in simhash_jvm(corpus).collect()}
     assert ca == cb and len(ca) > 0
+
+
+def test_extract_text_chained_refs_single_pass(spark):
+    """ADVICE r4: '&#38;lt;' must decode to the LITERAL '&lt;' (single
+    pass), never chain into '<'; both guard directions plus a real decoded
+    ampersand in one fixture."""
+    from minhashsketch_spark.operators.extract import extract_text
+
+    html = (b"<p>&#38;lt; &amp;#65; &#38;amp; a&#38;b &#38;</p>")
+    docs = spark.createDataFrame([(1, bytearray(html))], "id int, html binary")
+    got = extract_text(docs).collect()[0]["extracted_text"]
+    assert got == "&lt; &#65; &amp; a&b &"
