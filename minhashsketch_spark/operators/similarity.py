@@ -248,10 +248,13 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table hyperplane LSH.
 
-    Scale design (mirrors operators/lsh.py): self-join per (table, bucket);
-    hot buckets are *salted* into ceil(size/cap) sub-buckets (nothing
-    dropped) with a (vec_id)-ordered chain of extra candidates, then exact
-    cosine filters. Chain pairs are threshold-filtered individually (there
+    Scale design (mirrors operators/lsh.py, incl. its round-5 two-level
+    form): self-join per (table, bucket); hot buckets are *salted* into
+    ceil(size/cap) sub-buckets (nothing dropped) with per-sub-bucket
+    representatives chained across salts as extra candidates, then exact
+    cosine filters — sizes come from a hash-agg and the chain window holds
+    <= n_salt rows, so no task materializes a whole mega-bucket. Chain
+    pairs are threshold-filtered individually (there
     is no CC closure downstream here, unlike lsh.py), so cross-sub-bucket
     connectivity is guaranteed for identical/near-identical embeddings —
     every chain hop passes the filter (pinned by the forced-hot-bucket
@@ -260,12 +263,17 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     A single-table 12-plane join has ~0.16 recall at cosine 0.9 — multiple
     independent tables are what make recall approach 1 (1-(1-p^r)^T)."""
     b = hyperplane_bands(embeddings, n_tables, n_planes, seed, dim, id_col, vec_col)
-    w = Window.partitionBy("tbl", "bucket")
-    sized = b.withColumn("bucket_size", F.count("*").over(w)) \
-             .filter(F.col("bucket_size") >= 2)
+    # sizes via hash-agg + join, not count-over-window (round 5, same
+    # two-level shape as lsh.salt_hot_buckets: the window buffered a whole
+    # mega-bucket in one task; the agg partially combines and AQE can
+    # skew-split the size join)
+    sizes = (b.groupBy("tbl", "bucket")
+             .agg(F.count("*").alias("bucket_size"))
+             .filter(F.col("bucket_size") >= 2))
     salted = (
-        sized.withColumn("n_salt",
-                         F.ceil(F.col("bucket_size") / F.lit(bucket_cap)).cast("int"))
+        b.join(sizes, ["tbl", "bucket"])
+        .withColumn("n_salt",
+                    F.ceil(F.col("bucket_size") / F.lit(bucket_cap)).cast("int"))
         .withColumn("salt",
                     F.when(F.col("n_salt") <= 1, F.lit(0))
                     .otherwise(F.pmod(F.xxhash64("vec_id"), F.col("n_salt")).cast("int")))
@@ -282,10 +290,20 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+    # two-level chain links: one representative (min vec_id) per
+    # (tbl, bucket, salt) sub-group via hash-agg, chained across salts —
+    # the window partition holds <= n_salt rows instead of the whole
+    # mega-bucket. Identical embeddings: rep<->member hops come from the
+    # within-salt join and rep<->rep hops all pass the cosine filter, so
+    # the planted-group connectivity pin (test_skew.py) is unchanged.
+    reps = (
+        salted.filter(F.col("n_salt") > 1)
+        .groupBy("tbl", "bucket", "salt")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
     wchain = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
     chains = (
-        salted.filter(F.col("n_salt") > 1)
-        .withColumn("prev", F.lag("vec_id").over(wchain))
+        reps.withColumn("prev", F.lag("vec_id").over(wchain))
         .filter(F.col("prev").isNotNull())
         .select(F.least("prev", "vec_id").alias("id_a"),
                 F.greatest("prev", "vec_id").alias("id_b"))
