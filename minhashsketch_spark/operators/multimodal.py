@@ -1,14 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode step is REAL for three image formats — binary PPM (P6),
-uncompressed 24-bit BMP, and baseline sequential JPEG (core/jpeg.py, a
-pure-NumPy T.81 decoder incl. 4:2:0 and restart markers) — so the pipeline
-runs ``fake=False`` end-to-end on real crawl image bytes. Formats that
-still need codec libraries (progressive JPEG, PNG, audio/video codecs)
-raise ``NotImplementedError`` unless ``fake=True`` substitutes a
-deterministic byte-histogram stand-in. The Spark-side plumbing — schema,
-partitioning, Arrow batch shape, UDF signatures — is identical either way.
+The decode step is REAL for four image formats — binary PPM (P6),
+uncompressed 24-bit BMP, baseline sequential JPEG (core/jpeg.py, a
+pure-NumPy T.81 decoder incl. 4:2:0 and restart markers), and
+non-interlaced 8-bit PNG (core/png.py, stdlib zlib + NumPy unfiltering,
+all five filters and color types) — so the pipeline runs ``fake=False``
+end-to-end on real crawl image bytes. Remaining codec variants
+(progressive JPEG, interlaced PNG, audio/video codecs) raise
+``NotImplementedError`` unless ``fake=True`` substitutes a deterministic
+byte-histogram stand-in. The Spark-side plumbing — schema, partitioning,
+Arrow batch shape, UDF signatures — is identical either way.
 """
 
 from __future__ import annotations
@@ -83,11 +85,16 @@ def _decode_image(payload: bytes, fake: bool) -> np.ndarray:
         from ..core.jpeg import decode_baseline_jpeg
 
         return decode_baseline_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..core.png import decode_png
+
+        return decode_png(payload)
     if not fake:
         raise NotImplementedError(
-            "only PPM(P6)/BMP/baseline-JPEG decode in this container (no "
-            "PIL/opencv — core/jpeg.py is a pure-NumPy T.81 baseline "
-            "decoder; progressive JPEG and PNG remain out of scope); pass "
+            "only PPM(P6)/BMP/baseline-JPEG/PNG decode in this container "
+            "(no PIL/opencv — core/jpeg.py and core/png.py are pure-"
+            "NumPy/stdlib decoders; progressive JPEG, interlaced PNG and "
+            "sub-8-bit depths remain declared out of scope); pass "
             "fake=True for the deterministic byte-histogram stand-in")
     return np.frombuffer(payload, dtype=np.uint8)
 

@@ -159,11 +159,85 @@ def full(n_docs: int = 1200000) -> None:
         json.dump(report, f, indent=2)
 
 
+def ops(corpus_path: str = CORPUS, cpus: int = 32) -> None:
+    """Scale evidence for the curation operators at the 1.2M-doc corpus
+    (VERDICT r4 ask #8: line_dedup / url_dedup / domain_stats /
+    near_dedup_best had only sf0.1 numbers): one measured end-to-end run
+    each (noop write), loadavg embedded, docs/s reported. Writes
+    BENCH/ops_scale.json."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ops-scale")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from minhashsketch_spark.operators.dedup_corpus import (
+        exact_dedup_corpus,
+        line_dedup_stats,
+        near_dedup_corpus_best,
+    )
+    from minhashsketch_spark.operators.text import quality_score_expr
+    from minhashsketch_spark.operators.urls import domain_stats, url_dedup_stats
+
+    docs = spark.read.parquet(corpus_path).repartition(4 * cpus).cache()
+    n_docs = docs.count()
+    # stand-in clusters for the keeper benchmark: exact-content groups
+    # (cluster_id = min url per md5 group) — same shape/cardinality class
+    # as near-dup clusters, built off the clock
+    fp = docs.select("url", F.md5("text").alias("fp"))
+    grp = (fp.groupBy("fp").agg(F.count("*").alias("n"),
+                                F.min("url").alias("cluster_id"))
+           .filter(F.col("n") >= 2))
+    clusters = fp.join(grp, "fp").select("url", "cluster_id").localCheckpoint()
+
+    def loadavg():
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+
+    jobs = {
+        "exact_dedup_corpus": lambda: exact_dedup_corpus(
+            docs, id_col="url", text_col="text"),
+        "line_dedup": lambda: line_dedup_stats(docs, id_col="url"),
+        "url_dedup": lambda: url_dedup_stats(docs),
+        "domain_stats": lambda: domain_stats(docs),
+        "near_dedup_best": lambda: near_dedup_corpus_best(
+            docs, clusters, quality_score_expr()),
+    }
+    results = {}
+    for name, build in jobs.items():
+        la = loadavg()
+        t0 = time.time()
+        build().write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        results[name] = {"seconds": round(dt, 2),
+                         "docs_per_sec": round(n_docs / dt, 1),
+                         "loadavg1": la}
+        print(name, results[name])
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+    report = {"n_docs": n_docs, "cpus": cpus, "ops": results}
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/ops_scale.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "full"
     if cmd == "prepare":
         prepare(int(sys.argv[2]) if len(sys.argv) > 2 else 1200000)
     elif cmd == "run":
         run(sys.argv[2], int(sys.argv[3]))
+    elif cmd == "ops":
+        ops(sys.argv[2] if len(sys.argv) > 2 else CORPUS,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 32)
     else:
         full(int(sys.argv[2]) if len(sys.argv) > 2 else 1200000)
