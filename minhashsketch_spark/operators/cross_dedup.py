@@ -51,7 +51,12 @@ def _salted_index_bands(index_bands: DataFrame, cfg: PipelineConfig) -> DataFram
     as lsh.salt_hot_buckets): the window buffered a whole mega-band in one
     task; the hash-agg partially combines and the size join is AQE
     skew-splittable. Singleton buckets are KEPT here — unlike the
-    self-join path, a single index doc can still match a new doc."""
+    self-join path, a single index doc can still match a new doc. A
+    UDF-backed input is materialized once before the two-consumer sizing
+    fan-out (parquet/table-backed index scans stay lazy)."""
+    from ..partitioning import eager_if_python
+
+    index_bands = eager_if_python(index_bands)
     sizes = index_bands.groupBy("band_key").agg(
         F.count("*").alias("bucket_size"))
     return (

@@ -64,7 +64,16 @@ def salt_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
     buffers every row of a band in one task's window frame, so a single
     degenerate band (10^9 empty pages) would concentrate on one core. The
     aggregate partially combines map-side and the join back is an equi-join
-    against one row per key, which AQE skew-join can split."""
+    against one row per key, which AQE skew-join can split.
+
+    The sizing makes ``bands`` a two-consumer frame (agg side + join
+    side): if a Python UDF computes it (ad-hoc callers passing raw
+    compute_signatures output) it is eagerly materialized first so the
+    UDF runs once; parquet/table-backed inputs (run_pipeline's
+    checkpointed signatures) re-plan for pennies and stay lazy."""
+    from ..partitioning import eager_if_python
+
+    bands = eager_if_python(bands)
     sizes = (bands.groupBy("band_key")
              .agg(F.count("*").alias("bucket_size"))
              .filter(F.col("bucket_size") >= 2))

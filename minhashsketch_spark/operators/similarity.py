@@ -262,7 +262,12 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     the other n_tables-1 independent tables for recall.
     A single-table 12-plane join has ~0.16 recall at cosine 0.9 — multiple
     independent tables are what make recall approach 1 (1-(1-p^r)^T)."""
-    b = hyperplane_bands(embeddings, n_tables, n_planes, seed, dim, id_col, vec_col)
+    from ..partitioning import eager_if_python
+
+    # hyperplane UDF output feeds the two-consumer sizing fan-out below —
+    # materialize once (plan-detected; always a UDF here)
+    b = eager_if_python(
+        hyperplane_bands(embeddings, n_tables, n_planes, seed, dim, id_col, vec_col))
     # sizes via hash-agg + join, not count-over-window (round 5, same
     # two-level shape as lsh.salt_hot_buckets: the window buffered a whole
     # mega-bucket in one task; the agg partially combines and AQE can

@@ -50,3 +50,27 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+# logical node names that mean "a Python/Arrow UDF stage computes this
+# frame" — re-planning such a frame for a second consumer re-executes the
+# UDF (the most expensive narrow stage in the pipeline)
+_PYTHON_EVAL_NODES = ("MapInPandas", "PythonMapInArrow", "MapInArrow",
+                      "ArrowEvalPython", "BatchEvalPython", "EvalPython",
+                      "FlatMapGroupsInPandas")
+
+
+def eager_if_python(df: DataFrame) -> DataFrame:
+    """localCheckpoint ``df`` iff a Python/Arrow UDF appears in its plan.
+
+    For the fan-out points where one frame feeds several consumers (the
+    two-level bucket sizing joins a frame against its own aggregate): a
+    parquet/table-backed frame re-plans for pennies and must NOT be copied
+    into executor storage (at 10^12 rows that is the anti-pattern), but a
+    UDF-backed frame would run the UDF once per consumer — measured ~2x on
+    the ad-hoc candidate paths. Plan inspection only analyzes (never
+    executes) the frame."""
+    names = _plan_node_names(df._jdf.queryExecution().optimizedPlan())
+    if any(n.startswith(k) for n in names for k in _PYTHON_EVAL_NODES):
+        return df.localCheckpoint()
+    return df
