@@ -304,6 +304,21 @@ def _q_jpeg_features(spark, sf_dir):
                         F.element_at("hist", 25).alias("h24"))
 
 
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination stats (GPT-3-style 13-gram rule): the
+    benchmark is the deterministic doc_id %% 97 == 0 slice of the corpus
+    itself, so every benchmark doc self-contaminates and near-dup cluster
+    members of benchmark docs show partial overlap — non-vacuous on the
+    planted-cluster testdata. All-integer output; the 60-bit md5-prefix
+    n-gram keys are cross-engine identical (sampling.hash60_expr
+    construction), so the oracle is exact."""
+    from minhashsketch_spark.operators.decontam import contamination_stats
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_stats(docs, bench, n=13)
+
+
 def _q_exact_dedup_corpus(spark, sf_dir):
     from minhashsketch_spark.operators.dedup_corpus import exact_dedup_corpus
 
@@ -1082,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "multimodal_features": _q_multimodal_features,
         "jpeg_features": _q_jpeg_features,
+        "contamination": _q_contamination,
         "audio_stats": _q_audio_stats,
         "corpus_sketch": _q_corpus_sketch,
         "substring_dups": _q_substring_dups,
@@ -1852,6 +1868,29 @@ def oracle_sql() -> dict[str, str]:
         # zero-padded by the decoder; hist bins are byte-value // 4.
         # LEFT JOIN from the per-doc spine so npix=0 docs survive with the
         # all-padding histogram (h0=192) instead of vanishing from the unnest
+        "contamination": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(array_to_string(a[i:i+12], ' ')), 1, 15))::BIGINT AS gk
+              FROM toks, unnest(range(1, len(a) - 13 + 2)) AS t(i)
+            ),
+            bset AS (SELECT DISTINCT gk FROM g WHERE doc_id % 97 = 0),
+            m AS (
+              SELECT g.doc_id, count(*) AS nm, count(DISTINCT g.gk) AS nmd
+              FROM g JOIN bset USING (gk) GROUP BY g.doc_id
+            ),
+            spine AS (SELECT doc_id, greatest(len(a) - 12, 0)::BIGINT AS n_ngrams
+                      FROM toks)
+            SELECT spine.doc_id, n_ngrams,
+                   coalesce(m.nm, 0)::BIGINT AS n_matched,
+                   coalesce(m.nmd, 0)::BIGINT AS n_matched_distinct,
+                   coalesce(m.nmd, 0) >= 1 AS contaminated
+            FROM spine LEFT JOIN m USING (doc_id)
+        """,
         "jpeg_features": _jpeg_features_oracle(),
         "multimodal_features": """
             WITH px AS (

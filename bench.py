@@ -99,6 +99,7 @@ HEADLINE = [
     "url_dedup",
     "domain_stats",
     "corpus_splits",
+    "contamination",
     "near_dedup_corpus",
     "near_dedup_best",
     "ngram_jaccard",
