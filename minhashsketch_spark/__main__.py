@@ -6,9 +6,10 @@
       ``cal_name seed k m t time similarity`` row out (src/main.cu:287-307).
   python -m minhashsketch_spark pipeline --input DIR --output DIR [--k --t --bands --rows --threshold --seed]
       full near-dup pipeline over a documents table (parquet/Iceberg).
-  python -m minhashsketch_spark curate --input DIR --output DIR [--min-quality --langs --k --t ...]
+  python -m minhashsketch_spark curate --input DIR --output DIR [--min-quality --langs --benchmark DIR --k --t ...]
       composed curation: exact dedup -> near-dup dedup -> quality/language
-      filters; writes the curated corpus + prints per-step accounting.
+      filters -> optional benchmark decontamination (--benchmark);
+      writes the curated corpus + prints per-step accounting.
 """
 
 from __future__ import annotations
@@ -127,6 +128,12 @@ def _curate(argv: list[str]) -> None:
     p.add_argument("--keeper", default="min", choices=["min", "best"],
                    help="near-dup cluster survivor: lexicographic-min url "
                         "or highest quality score")
+    p.add_argument("--benchmark", default=None,
+                   help="optional eval-set table (needs a text column); "
+                        "when given, a final decontamination pass drops "
+                        "curated docs sharing any --decontam-n token "
+                        "n-gram with it")
+    p.add_argument("--decontam-n", type=int, default=13)
     p.add_argument("--k", type=int, default=9)
     p.add_argument("--m", type=int, default=1)
     p.add_argument("--t", type=int, default=128)
@@ -149,9 +156,10 @@ def _curate(argv: list[str]) -> None:
     )
     cfg = _make_config(a)
     docs = read_table(spark, a.input)
+    bench = read_table(spark, a.benchmark) if a.benchmark else None
     res = curate(spark, docs, cfg, min_quality=a.min_quality,
                  langs=tuple(a.langs.split(",")), checkpoint_root=a.checkpoint,
-                 keeper=a.keeper)
+                 keeper=a.keeper, benchmark=bench, decontam_n=a.decontam_n)
     write_table(res["curated"], a.output)
     for step, n in res["accounting"].items():
         print(f"{step}: {n}")

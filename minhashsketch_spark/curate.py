@@ -25,8 +25,16 @@ def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
            min_quality: float = 20.0, langs: tuple[str, ...] = ("en",),
            checkpoint_root: str | None = None,
            url_col: str = "url", text_col: str = "text",
-           with_accounting: bool = True, keeper: str = "min") -> dict:
+           with_accounting: bool = True, keeper: str = "min",
+           benchmark: DataFrame | None = None,
+           decontam_n: int = 13) -> dict:
     """Returns {"curated": DataFrame, "accounting": dict of step -> rows}.
+
+    ``benchmark``: optional evaluation-set frame (needs ``text_col``) —
+    when given, a final GPT-3-style decontamination pass drops survivors
+    sharing any ``decontam_n``-gram with it (operators.decontam). Last in
+    the chain: it must see exactly the docs that would otherwise ship, and
+    its cost scales with the SURVIVORS, not the raw crawl.
 
     ``keeper``: which member survives a near-dup cluster — "min" (the
     lexicographic-min url; deterministic and cheapest) or "best" (the
@@ -88,9 +96,20 @@ def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
     curated = near.filter(
         (quality_score_expr(text_col) >= min_quality)
         & detected_lang_expr(text_col).isin(*langs))
+    if benchmark is not None:
+        from .operators.decontam import decontaminate
+
+        curated = decontaminate(curated, benchmark, n=decontam_n,
+                                id_col=url_col, text_col=text_col,
+                                bench_text_col=text_col)
     if with_accounting:
         accounting["input"] = docs.count()
         accounting["after_near_dedup"] = near.count()
-        accounting["after_quality_lang"] = curated.count()
+        accounting["after_quality_lang"] = curated.count() \
+            if benchmark is None else near.filter(
+                (quality_score_expr(text_col) >= min_quality)
+                & detected_lang_expr(text_col).isin(*langs)).count()
+        if benchmark is not None:
+            accounting["after_decontam"] = curated.count()
     return {"curated": curated, "accounting": accounting,
             "clusters": result["clusters"]}

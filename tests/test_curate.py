@@ -57,3 +57,33 @@ def test_curate_keeper_best_keeps_highest_quality(spark, tmp_path):
         keeper="best")["curated"].collect()}
     assert kept_min == {"u-a", "u-z"}   # lexicographic min
     assert kept_best == {"u-b", "u-z"}  # higher quality (no digit penalty)
+
+
+def test_curate_with_benchmark_decontaminates(spark):
+    """--benchmark wiring: a benchmark built from one surviving doc's text
+    must remove exactly the docs sharing a 13-gram with it (itself + any
+    exact/near dups of it), with accounting showing the extra step."""
+    from pyspark.sql import functions as F
+
+    docs_df, _ = corpus_dataframe(spark, n_docs=150, seed=21)
+    base = curate(spark, docs_df, CFG, min_quality=10.0,
+                  langs=("en", "unknown"))
+    survivors = base["curated"].select("url", "text").collect()
+    victim = sorted((r["url"], r["text"]) for r in survivors)[0]
+    bench = spark.createDataFrame([(victim[1],)], "text string")
+
+    out = curate(spark, docs_df, CFG, min_quality=10.0,
+                 langs=("en", "unknown"), benchmark=bench)
+    acc = out["accounting"]
+    assert "after_decontam" in acc
+    assert acc["after_decontam"] < acc["after_quality_lang"]
+    kept = {r["url"] for r in out["curated"].select("url").collect()}
+    assert victim[0] not in kept
+    # every removed doc really shares a 13-gram with the benchmark text
+    from minhashsketch_spark.operators.decontam import contamination_stats
+
+    removed = {r["url"] for r in base["curated"].select("url").collect()} - kept
+    stats = {r["url"]: r["contaminated"] for r in contamination_stats(
+        base["curated"], bench, n=13, id_col="url").collect()}
+    assert all(stats[u] for u in removed)
+    assert not any(stats[u] for u in kept)
