@@ -127,6 +127,23 @@ def _q_near_dup_pairs(spark, sf_dir):
         "url_a", "url_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_near_dup_containment(spark, sf_dir):
+    """Asymmetric overlap report on the verified near-dup pairs:
+    containment_a = |A∩B|/|A| (and symmetrically _b) — distinguishes
+    "mirror copies" (both ~1) from "one page embeds the other" (one side
+    ~1, jaccard lower). Candidate generation is the resemblance LSH, so
+    this reports containment OVER near-dup pairs; standalone low-jaccard
+    containment is substring_dups' job."""
+    docs = _docs_as_urls(spark, sf_dir)
+    sigs = compute_signatures(docs, CFG)
+    pairs = candidate_pairs(sigs, CFG)
+    ver = verified_pairs(pairs, sigs, docs, CFG, with_containment=True)
+    return (ver.filter(F.col("jaccard") >= F.lit(CFG.threshold))
+            .select("url_a", "url_b", F.round("jaccard", 6).alias("jaccard"),
+                    F.round("containment_a", 6).alias("containment_a"),
+                    F.round("containment_b", 6).alias("containment_b")))
+
+
 def _q_near_dup_clusters(spark, sf_dir):
     from minhashsketch_spark.operators.connected_components import connected_components
 
@@ -1077,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_candidates": _q_minhash_candidates,
         "near_dup_pairs": _q_near_dup_pairs,
+        "near_dup_containment": _q_near_dup_containment,
         "near_dup_pairs_m4": _q_near_dup_pairs_m4,
         "near_dup_clusters": _q_near_dup_clusters,
         # training-data dedup family
@@ -1212,6 +1230,19 @@ _NEAR_DUP_PAIRS_ORACLE = f"""
                printf('doc-%08d', id_b) AS url_b,
                round(jacc, 6) AS jaccard
         FROM dup_pairs
+"""
+
+_NEAR_DUP_CONTAINMENT_ORACLE = f"""
+        WITH {_NEAR_DUP_CTE}
+        SELECT printf('doc-%08d', i.id_a) AS url_a,
+               printf('doc-%08d', i.id_b) AS url_b,
+               round(i.n_inter::double / (sa.n + sb.n - i.n_inter), 6) AS jaccard,
+               round(i.n_inter::double / sa.n, 6) AS containment_a,
+               round(i.n_inter::double / sb.n, 6) AS containment_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_inter::double / (sa.n + sb.n - i.n_inter) >= 0.7
 """
 
 _NEAR_DUP_CLUSTERS_ORACLE = f"""
@@ -1829,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint": _winnow_oracle(k=8, w=16),
         "simhash_pairs": _simhash_oracle(max_hamming=3),
         "near_dup_pairs": _NEAR_DUP_PAIRS_ORACLE,
+        "near_dup_containment": _NEAR_DUP_CONTAINMENT_ORACLE,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_ORACLE,
         "near_dedup_corpus": _NEAR_DEDUP_CORPUS_ORACLE,
         "near_dedup_best": _NEAR_DEDUP_BEST_ORACLE,

@@ -85,6 +85,7 @@ HEADLINE = [
     "minhash_signatures",
     "minhash_candidates",
     "near_dup_pairs",
+    "near_dup_containment",
     "near_dup_pairs_m4",
     "near_dup_clusters",
     "cross_corpus_dups",

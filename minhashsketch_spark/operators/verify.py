@@ -115,12 +115,21 @@ def shingle_sets_for(docs: DataFrame, urls: DataFrame, cfg: PipelineConfig,
 def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
                    cfg: PipelineConfig, url_col: str = "url",
                    text_col: str = "text",
-                   checkpoint_sigs: bool = True) -> DataFrame:
+                   checkpoint_sigs: bool = True,
+                   with_containment: bool = False) -> DataFrame:
     """Full verification: est_sim (reference estimator) + exact jaccard.
 
     Output: (url_a, url_b, est_sim, jaccard, is_dup) where is_dup applies
     ``cfg.threshold`` to the *reference estimator* — the semantics the
     recall metric is defined against (BASELINE.md).
+
+    ``with_containment`` adds (containment_a, containment_b) =
+    |A∩B|/|A|, |A∩B|/|B| — the ASYMMETRIC overlap: a short quote embedded
+    in a long page has low jaccard but containment_a ~ 1. Costs nothing
+    extra (the intersection is already computed); note LSH candidate
+    generation targets RESEMBLANCE, so low-jaccard/high-containment pairs
+    outside the candidate set are the substring operator's job
+    (operators.substring), not this one's.
 
     ``checkpoint_sigs=False`` when the signature frame is already
     materialized (parquet/bucketed-table-backed, or checkpointed by the
@@ -142,11 +151,20 @@ def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
     sh_b = sets_df.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    out = (
         est.join(sh_a, "url_a").join(sh_b, "url_b")
         .withColumn("jaccard",
                     F.when(union > 0, inter.cast("double") / union.cast("double"))
                     .otherwise(F.lit(1.0)))
         .withColumn("is_dup", F.col("est_sim") >= F.lit(cfg.threshold))
-        .select("url_a", "url_b", "est_sim", "jaccard", "is_dup")
     )
+    cols = ["url_a", "url_b", "est_sim", "jaccard", "is_dup"]
+    if with_containment:
+        for side, col in (("a", "sh_a"), ("b", "sh_b")):
+            out = out.withColumn(
+                f"containment_{side}",
+                F.when(F.size(col) > 0,
+                       inter.cast("double") / F.size(col).cast("double"))
+                .otherwise(F.lit(1.0)))
+        cols += ["containment_a", "containment_b"]
+    return out.select(*cols)

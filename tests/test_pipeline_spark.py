@@ -270,3 +270,19 @@ def test_verified_manifest_carries_dup_pair_count(spark, tmp_path):
     store = StageStore(spark, root, CFG.config_hash())
     m = store.manifest("verified")["metrics"]
     assert m["n_dup_pairs"] == r["verified"].filter("is_dup").count()
+
+
+def test_containment_asymmetric_overlap(spark):
+    """containment_a ~ 1 when A's shingles all appear in B (A embedded in
+    B) while jaccard stays low — the asymmetric signal verified_pairs
+    exposes with with_containment=True."""
+    a_text = "the quick brown fox jumps over the lazy dog tail"
+    b_text = a_text + " " + " ".join(f"filler{i} pad words here" for i in range(30))
+    docs = spark.createDataFrame([("a", a_text), ("b", b_text)],
+                                 "url string, text string")
+    sigs = compute_signatures(docs, CFG)
+    pairs = spark.createDataFrame([("a", "b")], "url_a string, url_b string")
+    r = verified_pairs(pairs, sigs, docs, CFG, with_containment=True).collect()[0]
+    assert r["containment_a"] == 1.0          # every A-shingle is in B
+    assert r["containment_b"] < 0.3
+    assert r["jaccard"] == r["containment_b"]  # A subset of B => jacc = |A|/|B|
