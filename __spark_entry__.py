@@ -853,6 +853,45 @@ def _q_html_extract(spark, sf_dir):
         F.length("extracted_text").alias("n_chars"))
 
 
+def _q_warc_roundtrip(spark, sf_dir):
+    """Crawl-native source format: documents -> deterministic WARC bytes
+    (sources/warc.write_warc_bytes, one member-per-record .warc.gz per
+    partition, written by the executors) -> the binaryFile-based
+    warc_documents reader -> (url, html_md5, n_bytes). The round-trip must
+    be the IDENTITY on the page bytes, so the oracle is plain SQL over the
+    documents table — no WARC logic on the DuckDB side at all."""
+    import os
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from minhashsketch_spark.partitioning import ensure_parallelism
+    from minhashsketch_spark.sources.warc import warc_documents, write_warc_bytes
+
+    tmp = tempfile.mkdtemp(prefix="mhs_warc_")
+    _entry_track_tmp(tmp)
+    docs = _docs_as_urls(spark, sf_dir).select("url", "text")
+
+    def dump(batches):
+        pages = []
+        for pdf in batches:
+            for u, t in zip(pdf["url"].values, pdf["text"].values):
+                pages.append((u, "2020-01-01T00:00:00Z",
+                              (t or "").encode("utf-8")))
+        if pages:
+            path = os.path.join(tmp, f"part-{uuid.uuid4().hex}.warc.gz")
+            with open(path, "wb") as f:
+                f.write(write_warc_bytes(sorted(pages)))
+        yield pd.DataFrame({"n": [len(pages)]})
+
+    ensure_parallelism(docs).mapInPandas(dump, schema="n bigint")         .write.format("noop").mode("overwrite").save()
+    back = warc_documents(spark, os.path.join(tmp, "*.warc.gz"))
+    return back.select(
+        "url", F.md5("html").alias("html_md5"),
+        F.octet_length("html").cast("bigint").alias("n_bytes"))
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc repetition quality signals — highly
     non-vacuous on the tiny-vocabulary testdata (every doc repeats
@@ -1137,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": _q_orders_rollup,
         "user_sessions": _q_user_sessions,
         "html_extract": _q_html_extract,
+        "warc_roundtrip": _q_warc_roundtrip,
         "repetition_stats": _q_repetition_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "windowed_event_counts": _q_windowed_event_counts,
@@ -1803,6 +1843,12 @@ def oracle_sql() -> dict[str, str]:
         # identical semantics: the bucketed index layout is physical only
         "cross_corpus_dups_indexed": _CROSS_CORPUS_ORACLE,
         "html_extract": _html_extract_oracle(),
+        "warc_roundtrip": """
+            SELECT printf('doc-%08d', doc_id) AS url,
+                   md5(text) AS html_md5,
+                   octet_length(encode(text))::BIGINT AS n_bytes
+            FROM documents
+        """,
         "url_dedup": _URL_DEDUP_ORACLE,
         # line-level dedup over the crawl-shaped fixture page; the oracle
         # counts df by raw line string where Spark uses xxhash64 keys —

@@ -94,6 +94,7 @@ HEADLINE = [
     "curated_corpus",
     # crawl ingestion + dedup + text analysis
     "html_extract",
+    "warc_roundtrip",
     "exact_dedup",
     "exact_dedup_corpus",
     "line_dedup",
