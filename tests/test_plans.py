@@ -257,3 +257,25 @@ def test_url_operators_plan_shapes(spark):
 
     for m in re.findall(r"hashpartitioning\((\w+)", plan):
         assert m.startswith("_bhost"), plan
+
+
+def test_eager_if_python_materializes_only_udf_frames(spark):
+    """The sizing fan-out guard: parquet/scan-backed frames must pass
+    through untouched (copying a 10^12-row table into executor storage is
+    the anti-pattern); UDF-backed frames must come back checkpointed so
+    the UDF runs once across consumers."""
+    from minhashsketch_spark.partitioning import eager_if_python
+
+    scan = spark.read.parquet(f"{SF}/documents.parquet")
+    assert eager_if_python(scan) is scan
+
+    def ident(it):
+        yield from it
+
+    udf_frame = scan.select("doc_id").mapInPandas(ident, schema="doc_id bigint")
+    out = eager_if_python(udf_frame)
+    assert out is not udf_frame
+    assert "LogicalRDD" in out._jdf.queryExecution().analyzed().toString()
+
+    arrow_frame = scan.select("doc_id").mapInArrow(ident, schema="doc_id bigint")
+    assert eager_if_python(arrow_frame) is not arrow_frame
