@@ -892,6 +892,36 @@ def _q_warc_roundtrip(spark, sf_dir):
         F.octet_length("html").cast("bigint").alias("n_bytes"))
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (emails -> IPs -> phones, fixed order so
+    the loosest pattern can't eat the structured ones). Testdata text has
+    no natural PII, so a deterministic per-doc gauntlet is appended on
+    BOTH engine sides (the html_extract wrap pattern): an email, an IPv4,
+    and — on doc_id % 3 == 0 only — a phone number. Patterns restricted
+    to the Java/RE2-identical regex subset; output is integer counts +
+    md5/length of the scrubbed text."""
+    from minhashsketch_spark.operators.pii import pii_counts, scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    gauntlet = F.concat(
+        F.col("text"),
+        F.format_string(" contact u%d@ex%d.example.com from 10.%d.0.%d",
+                        F.col("doc_id"), F.pmod(F.col("doc_id"), F.lit(7)),
+                        F.pmod(F.col("doc_id"), F.lit(256)),
+                        F.pmod(F.col("doc_id"), F.lit(250))),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.format_string(" tel +1-555-%03d-0199",
+                               F.pmod(F.col("doc_id"), F.lit(1000))))
+        .otherwise(F.lit("")))
+    wrapped = docs.select("doc_id", gauntlet.alias("text"))
+    counts = pii_counts(wrapped)
+    scrubbed = scrub_pii(wrapped, out_col="clean")
+    return (counts.join(scrubbed.select("doc_id",
+                                        F.md5("clean").alias("scrubbed_md5"),
+                                        F.length("clean").alias("scrubbed_len")),
+                        "doc_id"))
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc repetition quality signals — highly
     non-vacuous on the tiny-vocabulary testdata (every doc repeats
@@ -1177,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "html_extract": _q_html_extract,
         "warc_roundtrip": _q_warc_roundtrip,
+        "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "windowed_event_counts": _q_windowed_event_counts,
@@ -1843,6 +1874,40 @@ def oracle_sql() -> dict[str, str]:
         # identical semantics: the bucketed index layout is physical only
         "cross_corpus_dups_indexed": _CROSS_CORPUS_ORACLE,
         "html_extract": _html_extract_oracle(),
+        "pii_scrub": """
+            WITH w AS (
+              SELECT doc_id,
+                     text || printf(' contact u%d@ex%d.example.com from 10.%d.0.%d',
+                                    doc_id, doc_id % 7, doc_id % 256, doc_id % 250)
+                          || CASE WHEN doc_id % 3 = 0
+                                  THEN printf(' tel +1-555-%03d-0199', doc_id % 1000)
+                                  ELSE '' END AS t
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS n_emails,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t
+              FROM w
+            ),
+            i AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t, '(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}')) AS n_ips,
+                     regexp_replace(t, '(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}', '<IP>', 'g') AS t
+              FROM e
+            ),
+            p AS (
+              SELECT doc_id, n_emails, n_ips,
+                     len(regexp_extract_all(t, '\\+?[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{2,4}[-. ][0-9]{2,6}')) AS n_phones,
+                     regexp_replace(t, '\\+?[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{2,4}[-. ][0-9]{2,6}', '<PHONE>', 'g') AS t
+              FROM i
+            )
+            SELECT doc_id, n_emails::BIGINT AS n_emails, n_ips::BIGINT AS n_ips,
+                   n_phones::BIGINT AS n_phones,
+                   (n_emails + n_ips + n_phones) > 0 AS has_pii,
+                   md5(t) AS scrubbed_md5, length(t) AS scrubbed_len
+            FROM p
+        """,
         "warc_roundtrip": """
             SELECT printf('doc-%08d', doc_id) AS url,
                    md5(text) AS html_md5,

@@ -95,6 +95,7 @@ HEADLINE = [
     # crawl ingestion + dedup + text analysis
     "html_extract",
     "warc_roundtrip",
+    "pii_scrub",
     "exact_dedup",
     "exact_dedup_corpus",
     "line_dedup",
