@@ -2132,6 +2132,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    CASE WHEN length(tt)=0 THEN 0
                         ELSE len(regexp_split_to_array(tt, '\s+')) END AS n_tokens,
+                   len(regexp_extract_all(tt, '''[A-Za-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s'))::BIGINT AS n_bpe_tokens,
                    CASE WHEN length(tt)=0 OR len(regexp_split_to_array(tt, '\s+'))=0 THEN 0.0
                         ELSE round(length(regexp_replace(tt, '\s+', '', 'g'))::double
                                    / len(regexp_split_to_array(tt, '\s+')), 4) END AS avg_token_len

@@ -25,8 +25,19 @@ def _token_count(col):
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+# BPE-ish pre-tokenizer (GPT-2-style shape, restricted to the Java/RE2-
+# shared subset — no lookahead, so the trailing-space merge is simplified
+# to one-\s-per-token): contraction suffix | optional-space word |
+# optional-space number | optional-space punct run | single whitespace.
+# Counting its matches approximates an LLM tokenizer's token count far
+# better than whitespace splits (punct and contractions split off).
+BPE_RE = r"'[A-Za-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s"
+
+
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, n_chars, n_tokens, avg_token_len) — whitespace tokenization."""
+    """(id, n_chars, n_tokens, n_bpe_tokens, avg_token_len) — whitespace
+    tokenization plus the BPE-ish regex count (``BPE_RE``), the pair of
+    numbers a training-data dashboard actually wants."""
     t = F.trim(F.col(text_col))
     n_tokens = _token_count(F.col(text_col))
     # chars in tokens = length minus whitespace
@@ -35,6 +46,7 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars"),
         n_tokens.alias("n_tokens"),
+        F.regexp_count(t, F.lit(BPE_RE)).cast("bigint").alias("n_bpe_tokens"),
         F.when(n_tokens > 0, F.round(token_chars.cast("double") / n_tokens, 4))
         .otherwise(F.lit(0.0)).alias("avg_token_len"),
     )

@@ -122,3 +122,22 @@ def test_extract_text_chained_refs_single_pass(spark):
     docs = spark.createDataFrame([(1, bytearray(html))], "id int, html binary")
     got = extract_text(docs).collect()[0]["extracted_text"]
     assert got == "&lt; &#65; &amp; a&b &"
+
+
+def test_bpe_token_count_splits_punct_and_contractions(spark):
+    """The BPE-ish count must exceed whitespace tokens when punctuation /
+    contractions are present, and match hand-counted tokenizations."""
+    from minhashsketch_spark.operators.text import token_stats
+
+    rows = [(1, "don't stop, believing!"),
+            (2, "plain words only"),
+            (3, "v1.2 costs $42")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in token_stats(df).collect()}
+    # don | 't | " stop" | "," | " believing" | "!"  (space absorbed into
+    # the following word, GPT-2 style)
+    assert got[1]["n_bpe_tokens"] == 6 and got[1]["n_tokens"] == 3
+    # plain | " words" | " only"
+    assert got[2]["n_bpe_tokens"] == 3 and got[2]["n_tokens"] == 3
+    # v | 1 | . | 2 | " costs" | " $" | 42
+    assert got[3]["n_bpe_tokens"] == 7
