@@ -922,6 +922,33 @@ def _q_pii_scrub(spark, sf_dir):
                         "doc_id"))
 
 
+def _q_robots_filter(spark, sf_dir):
+    """robots.txt compliance over fabricated per-host policies: each of 7
+    hosts disallows two /p<digit> path buckets (one via a star group that
+    also contains comments/empty-Disallow noise, one via a multi-header
+    group), plus a googlebot-only rule that must NOT apply. The oracle is
+    CLOSED-FORM (the modular rule the fixture encodes) — fully independent
+    of the parser, so it validates parse+group+prefix-match end to end."""
+    from minhashsketch_spark.operators.robots import robots_compliance
+
+    docs = _docs(spark, sf_dir)
+    host = F.concat(F.lit("host"), F.pmod("doc_id", F.lit(7)).cast("string"),
+                    F.lit(".example.com"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p"),
+                   F.pmod("doc_id", F.lit(10)).cast("string"),
+                   F.lit("/"), F.col("doc_id").cast("string"))
+    d = docs.select("doc_id", url.alias("url"))
+    robots = spark.createDataFrame(
+        [(f"host{k}.example.com",
+          "# crawl policy\nUser-agent: googlebot\nDisallow: /private\n\n"
+          f"User-agent: *\nDisallow: /p{k}\nDisallow:\n\n"
+          f"User-agent: otherbot\nUser-agent: *\nDisallow: /p{(k + 3) % 10}")
+         for k in range(7)],
+        "domain string, robots_txt string")
+    return robots_compliance(d, robots).select("doc_id", "url",
+                                               "robots_disallowed")
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc repetition quality signals — highly
     non-vacuous on the tiny-vocabulary testdata (every doc repeats
@@ -1208,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _q_html_extract,
         "warc_roundtrip": _q_warc_roundtrip,
         "pii_scrub": _q_pii_scrub,
+        "robots_filter": _q_robots_filter,
         "repetition_stats": _q_repetition_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "windowed_event_counts": _q_windowed_event_counts,
@@ -1907,6 +1935,14 @@ def oracle_sql() -> dict[str, str]:
                    (n_emails + n_ips + n_phones) > 0 AS has_pii,
                    md5(t) AS scrubbed_md5, length(t) AS scrubbed_len
             FROM p
+        """,
+        "robots_filter": """
+            SELECT doc_id,
+                   'https://host' || (doc_id % 7)::VARCHAR || '.example.com/p'
+                     || (doc_id % 10)::VARCHAR || '/' || doc_id::VARCHAR AS url,
+                   ((doc_id % 10) = (doc_id % 7))
+                     OR ((doc_id % 10) = ((doc_id % 7) + 3) % 10) AS robots_disallowed
+            FROM documents
         """,
         "warc_roundtrip": """
             SELECT printf('doc-%08d', doc_id) AS url,

@@ -96,6 +96,7 @@ HEADLINE = [
     "html_extract",
     "warc_roundtrip",
     "pii_scrub",
+    "robots_filter",
     "exact_dedup",
     "exact_dedup_corpus",
     "line_dedup",
