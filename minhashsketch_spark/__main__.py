@@ -6,9 +6,10 @@
       ``cal_name seed k m t time similarity`` row out (src/main.cu:287-307).
   python -m minhashsketch_spark pipeline --input DIR --output DIR [--k --t --bands --rows --threshold --seed]
       full near-dup pipeline over a documents table (parquet/Iceberg).
-  python -m minhashsketch_spark curate --input DIR --output DIR [--min-quality --langs --benchmark DIR --k --t ...]
+  python -m minhashsketch_spark curate --input DIR --output DIR [--min-quality --langs --benchmark DIR --robots DIR --k --t ...]
       composed curation: exact dedup -> near-dup dedup -> quality/language
-      filters -> optional benchmark decontamination (--benchmark);
+      filters -> optional benchmark decontamination (--benchmark),
+      with an optional robots.txt compliance filter first (--robots);
       writes the curated corpus + prints per-step accounting.
 """
 
@@ -134,6 +135,9 @@ def _curate(argv: list[str]) -> None:
                         "curated docs sharing any --decontam-n token "
                         "n-gram with it")
     p.add_argument("--decontam-n", type=int, default=13)
+    p.add_argument("--robots", default=None,
+                   help="optional (domain, robots_txt) table; when given, "
+                        "a robots.txt compliance filter runs FIRST")
     p.add_argument("--k", type=int, default=9)
     p.add_argument("--m", type=int, default=1)
     p.add_argument("--t", type=int, default=128)
@@ -157,9 +161,11 @@ def _curate(argv: list[str]) -> None:
     cfg = _make_config(a)
     docs = read_table(spark, a.input)
     bench = read_table(spark, a.benchmark) if a.benchmark else None
+    robots = read_table(spark, a.robots) if a.robots else None
     res = curate(spark, docs, cfg, min_quality=a.min_quality,
                  langs=tuple(a.langs.split(",")), checkpoint_root=a.checkpoint,
-                 keeper=a.keeper, benchmark=bench, decontam_n=a.decontam_n)
+                 keeper=a.keeper, benchmark=bench, decontam_n=a.decontam_n,
+                 robots=robots)
     write_table(res["curated"], a.output)
     for step, n in res["accounting"].items():
         print(f"{step}: {n}")

