@@ -949,6 +949,16 @@ def _q_robots_filter(spark, sf_dir):
                                                "robots_disallowed")
 
 
+def _q_compression_ratio(spark, sf_dir):
+    """DEFLATE compressibility quality signal (Gopher/Dolma-style): all
+    integers; the oracle recomputes with the same stdlib zlib at the same
+    level over pyarrow-read parquet (bit-deterministic), cached like the
+    jpeg semi-oracle."""
+    from minhashsketch_spark.operators.text import compression_ratio
+
+    return compression_ratio(_docs(spark, sf_dir))
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc repetition quality signals — highly
     non-vacuous on the tiny-vocabulary testdata (every doc repeats
@@ -1236,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "pii_scrub": _q_pii_scrub,
         "robots_filter": _q_robots_filter,
+        "compression_ratio": _q_compression_ratio,
         "repetition_stats": _q_repetition_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "windowed_event_counts": _q_windowed_event_counts,
@@ -1843,6 +1854,29 @@ def _jpeg_features_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
             + ", ".join(rows) + ") AS t(media_id, n_bytes, h0, h24)")
 
 
+@functools.lru_cache(maxsize=2)
+def _compression_ratio_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Recomputed-VALUES oracle: stdlib zlib at level 6 is deterministic,
+    so both engines see identical integers."""
+    import zlib as _z
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = []
+    for doc_id, txt in zip(t.column("doc_id").to_pylist(),
+                           t.column("text").to_pylist()):
+        b = (txt or "").encode("utf-8")
+        c = len(_z.compress(b, 6))
+        ratio = (c * 1000) // len(b) if b else 1000
+        rows.append(f"({doc_id}, {len(b)}, {c}, {ratio})")
+    return ("SELECT doc_id::BIGINT AS doc_id, n_raw::BIGINT AS n_raw, "
+            "n_compressed::BIGINT AS n_compressed, "
+            "ratio_x1000::BIGINT AS ratio_x1000 FROM (VALUES "
+            + ", ".join(rows) + ") AS t(doc_id, n_raw, n_compressed, ratio_x1000)")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "curated_corpus": _CURATED_CORPUS_ORACLE,
@@ -1936,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(t) AS scrubbed_md5, length(t) AS scrubbed_len
             FROM p
         """,
+        "compression_ratio": _compression_ratio_oracle(),
         "robots_filter": """
             SELECT doc_id,
                    'https://host' || (doc_id % 7)::VARCHAR || '.example.com/p'

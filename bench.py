@@ -112,6 +112,7 @@ HEADLINE = [
     "quality_score",
     "language_id",
     "repetition_stats",
+    "compression_ratio",
     "tfidf_top_terms",
     "md5_fingerprint",
     "winnow_fingerprint",

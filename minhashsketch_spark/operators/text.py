@@ -134,6 +134,48 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def compression_ratio(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", level: int = 6,
+                      id_type: str = "bigint") -> DataFrame:
+    """DEFLATE compression ratio per document — the quality heuristic the
+    public crawl pipelines (Gopher's repetition family, Dolma/RedPajama
+    buckets) use to catch machine-generated/looping text: highly
+    compressible pages are boilerplate or repetition, incompressible ones
+    are often binary junk; natural prose sits in a mid band.
+
+    (id, n_raw, n_compressed, ratio_x1000) with the ratio as an INTEGER
+    (floor(1000 * compressed / raw); 1000 for empty docs) — zlib at a
+    fixed level is bit-deterministic, so the driver oracle recomputes the
+    identical numbers with the same stdlib. Arrow-batched mapInPandas:
+    compression is the textbook can't-express-in-SQL step, batched so no
+    per-row Python pickling."""
+    import pandas as pd
+    import zlib as _zlib
+
+    from ..partitioning import ensure_parallelism
+
+    def gen(batches):
+        for pdf in batches:
+            raw, comp = [], []
+            for t in pdf[text_col].values:
+                b = (t or "").encode("utf-8")
+                raw.append(len(b))
+                comp.append(len(_zlib.compress(b, level)))
+            out = pd.DataFrame({
+                "_id": pdf[id_col].values,
+                "n_raw": raw,
+                "n_compressed": comp,
+            })
+            out["ratio_x1000"] = [
+                (c * 1000) // r if r else 1000 for r, c in zip(raw, comp)]
+            yield out
+
+    return (ensure_parallelism(docs.select(id_col, text_col))
+            .mapInPandas(gen, schema=(f"_id {id_type}, n_raw bigint, "
+                                      "n_compressed bigint, ratio_x1000 bigint"))
+            .withColumnRenamed("_id", id_col))
+
+
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Within-document repetition signals (the Gopher-style quality filters

@@ -141,3 +141,22 @@ def test_bpe_token_count_splits_punct_and_contractions(spark):
     assert got[2]["n_bpe_tokens"] == 3 and got[2]["n_tokens"] == 3
     # v | 1 | . | 2 | " costs" | " $" | 42
     assert got[3]["n_bpe_tokens"] == 7
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    from minhashsketch_spark.operators.text import compression_ratio
+
+    rows = [(1, "spam " * 400),                       # hyper-compressible
+            (2, "The quick brown fox jumps over the lazy dog near a "
+                "riverbank while seventeen pelicans argue about tides."),
+            (3, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["ratio_x1000"] < 50          # repetition collapses
+    assert 300 < got[2]["ratio_x1000"] <= 1100  # prose barely compresses
+    assert got[3]["ratio_x1000"] == 1000 and got[3]["n_raw"] == 0
+    import zlib
+
+    for i, (_, t) in enumerate(((r[0], r[1]) for r in rows), 1):
+        b = rows[i - 1][1].encode()
+        assert got[i]["n_compressed"] == len(zlib.compress(b, 6))
