@@ -114,11 +114,16 @@ def _near_dup_exact_pairs(spark, sf_dir):
     Jaccard verification filters pairs'). Oracle-equal to the all-pairs
     DuckDB scan because LSH recall is 1.0 at these params on this corpus
     (32 bands x 4 rows: a pair at jaccard 0.8 is missed w.p. (1-0.8^4)^32
-    ~= 5e-8; the planted clusters sit at >= 0.8)."""
+    ~= 5e-8; the planted clusters sit at >= 0.8).
+
+    The signature frame is checkpointed ONCE here and shared by candidate
+    generation and verification (checkpoint_sigs=False): the r5 shape let
+    each consumer materialize its own copy, running the t=128 signature
+    UDF twice per query (guide §1.2 — don't compute things twice)."""
     docs = _docs_as_urls(spark, sf_dir)
-    sigs = compute_signatures(docs, CFG)
+    sigs = compute_signatures(docs, CFG).localCheckpoint()
     pairs = candidate_pairs(sigs, CFG)
-    ver = verified_pairs(pairs, sigs, docs, CFG)
+    ver = verified_pairs(pairs, sigs, docs, CFG, checkpoint_sigs=False)
     return ver.filter(F.col("jaccard") >= F.lit(CFG.threshold))
 
 
@@ -135,9 +140,10 @@ def _q_near_dup_containment(spark, sf_dir):
     this reports containment OVER near-dup pairs; standalone low-jaccard
     containment is substring_dups' job."""
     docs = _docs_as_urls(spark, sf_dir)
-    sigs = compute_signatures(docs, CFG)
+    sigs = compute_signatures(docs, CFG).localCheckpoint()
     pairs = candidate_pairs(sigs, CFG)
-    ver = verified_pairs(pairs, sigs, docs, CFG, with_containment=True)
+    ver = verified_pairs(pairs, sigs, docs, CFG, with_containment=True,
+                         checkpoint_sigs=False)
     return (ver.filter(F.col("jaccard") >= F.lit(CFG.threshold))
             .select("url_a", "url_b", F.round("jaccard", 6).alias("jaccard"),
                     F.round("containment_a", 6).alias("containment_a"),
@@ -204,7 +210,9 @@ def _q_near_dup_pairs_m4(spark, sf_dir):
     from minhashsketch_spark.operators.verify import minhash_estimate_m
 
     docs = _docs_as_urls(spark, sf_dir)
-    sigs = compute_signatures_m(docs, CFG_M4)
+    # one checkpointed signature pass shared by candidates + both estimator
+    # join sides (the r5 shape re-planned the signature UDF up to 3x)
+    sigs = compute_signatures_m(docs, CFG_M4).localCheckpoint()
     pairs = candidate_pairs(sigs, CFG_M4)
     est = minhash_estimate_m(pairs, sigs, CFG_M4)
     return (est.filter(F.col("est_sim") >= CFG_M4.threshold)
@@ -900,7 +908,7 @@ def _q_pii_scrub(spark, sf_dir):
     and — on doc_id % 3 == 0 only — a phone number. Patterns restricted
     to the Java/RE2-identical regex subset; output is integer counts +
     md5/length of the scrubbed text."""
-    from minhashsketch_spark.operators.pii import pii_counts, scrub_pii
+    from minhashsketch_spark.operators.pii import pii_report
 
     docs = _docs(spark, sf_dir)
     gauntlet = F.concat(
@@ -913,13 +921,14 @@ def _q_pii_scrub(spark, sf_dir):
                F.format_string(" tel +1-555-%03d-0199",
                                F.pmod(F.col("doc_id"), F.lit(1000))))
         .otherwise(F.lit("")))
+    # one narrow pass (pii_report): counts + scrubbed text share the same
+    # progressive-redaction chain, so the r5 counts-join-scrub shape ran
+    # the three regexes twice and shuffled the corpus for the join
     wrapped = docs.select("doc_id", gauntlet.alias("text"))
-    counts = pii_counts(wrapped)
-    scrubbed = scrub_pii(wrapped, out_col="clean")
-    return (counts.join(scrubbed.select("doc_id",
-                                        F.md5("clean").alias("scrubbed_md5"),
-                                        F.length("clean").alias("scrubbed_len")),
-                        "doc_id"))
+    rep = pii_report(wrapped)
+    return rep.select("doc_id", "n_emails", "n_ips", "n_phones", "has_pii",
+                      F.md5("scrubbed").alias("scrubbed_md5"),
+                      F.length("scrubbed").alias("scrubbed_len"))
 
 
 def _q_robots_filter(spark, sf_dir):

@@ -172,11 +172,13 @@ def build_band_index(spark: SparkSession, index_docs: DataFrame,
 
     from ..sources.io import write_bucketed
 
-    sigs = compute_signatures(index_docs, cfg, url_col, text_col)
-    texts = index_docs.select(F.col(url_col).alias("url"),
-                              F.col(text_col).alias("text"))
-    write_bucketed(sigs.select("url", "sig_key", "sig", "bands")
-                   .join(texts, "url"),
+    # keep_text: the signature UDF passes the text bytes through its Arrow
+    # batches, so the (signature, text) rows are born joined — the r5 shape
+    # re-joined signatures against the corpus on url, a full SMJ shuffle of
+    # the text for data the UDF already held (guide §2.4)
+    sigs = compute_signatures(index_docs, cfg, url_col, text_col,
+                              keep_text=True)
+    write_bucketed(sigs.select("url", "sig_key", "sig", "bands", "text"),
                    f"{table}_sigs", "url", n_buckets, path=p("sigs"))
     # derive the band tables from the STORED signatures: one signature-UDF
     # execution total, and the band build reads columnar parquet

@@ -87,48 +87,51 @@ def line_dedup_stats(docs: DataFrame, min_df: int = 2,
     reconstructing the corpus join the kept-lines aggregation back to the
     table; the stats form is what quality dashboards and the oracle check.
 
-    Scale shape: posexplode lines -> per-line document frequency over an
-    8-byte xxhash64 key (lines can be long; the df join must shuffle 8-byte
-    keys, not raw strings — hash collisions merge two distinct lines'
-    counts with P ~ n^2/2^64, which can only over-drop a single boilerplate
-    -lookalike line) -> broadcast-or-SMJ join of the boilerplate key set ->
-    per-doc ordered reassembly via array_sort over (pos, line) structs.
-    Two shuffles (line-df agg, per-doc agg); both AQE-coalesced.
+    Scale shape (r6 — the corpus text never shuffles, mirroring
+    exact_dedup_corpus): the ONLY shuffle is the per-line document
+    frequency over (doc_id, xxhash64(line)) int pairs — the line strings
+    are projected away before the exchange. The resulting boilerplate key
+    set (lines repeated across >= min_df docs: headers, nav bars, cookie
+    banners — a corpus-wide DIMENSION by the same argument that makes
+    decontam's benchmark grams broadcastable; hash collisions merge two
+    distinct lines' counts with P ~ n^2/2^64, which can only over-drop a
+    boilerplate-lookalike line) is aggregated into one sorted array row
+    and broadcast; cleaning is then a NARROW per-row
+    split/filter/array_join against that array — no anti-join carrying
+    line strings, no per-doc reassembly shuffle (the r5 shape paid two
+    full-corpus text exchanges here).
 
     Empty documents have one empty line ([""]) — if "" is boilerplate
     (min_df docs are empty/blank-lined) those lines drop like any other;
-    a doc whose every line drops yields the empty string (md5 of ""), the
-    same convention the DuckDB oracle's spine join uses.
+    a doc whose every line drops yields the empty string (md5 of "").
     """
     from ..partitioning import ensure_parallelism
 
-    lines = (
-        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    # (doc_id, lh) int pairs: project the line string away BEFORE any
+    # exchange (ensure_parallelism repartitions the already-hashed frame)
+    line_keys = ensure_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
         .select(F.col(id_col),
                 F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
-        .withColumn("lh", F.xxhash64("line"))
-    )
-    # document frequency per distinct line (count each doc once)
-    line_df = (lines.select(id_col, "lh").distinct()
+        .select(F.col(id_col), F.xxhash64("line").alias("lh")))
+    line_df = (line_keys.distinct()
                .groupBy("lh").agg(F.count("*").alias("df")))
-    boiler = line_df.filter(F.col("df") >= min_df).select("lh")
-    kept = lines.join(boiler, "lh", "left_anti")
-    agg = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                        lambda s: s["line"]), "\n").alias("cleaned"),
-    )
-    spine = docs.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"))
+    # one row holding every boilerplate key, sorted (deterministic plan)
+    boiler = (line_df.filter(F.col("df") >= min_df)
+              .agg(F.sort_array(F.collect_list("lh")).alias("_boiler")))
+    arr = F.split(F.col(text_col), "\n")
+    kept = F.filter(arr, lambda ln: ~F.coalesce(
+        F.array_contains("_boiler", F.xxhash64(ln)), F.lit(False)))
+    cleaned = F.coalesce(F.array_join(kept, "\n"), F.lit(""))
     return (
-        spine.join(agg, id_col, "left")
+        docs.select(F.col(id_col), F.col(text_col))
+        # 1-row dimension: a broadcast nested-loop join, no corpus shuffle
+        .crossJoin(F.broadcast(boiler))
         .select(
             F.col(id_col),
-            "n_lines",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
-            F.length(F.coalesce("cleaned", F.lit(""))).alias("cleaned_len"),
+            F.size(arr).alias("n_lines"),
+            F.coalesce(F.size(kept), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.md5(cleaned).alias("cleaned_md5"),
+            F.length(cleaned).alias("cleaned_len"),
         )
     )

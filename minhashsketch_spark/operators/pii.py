@@ -53,6 +53,28 @@ def pii_counts(docs: DataFrame, id_col: str = "doc_id",
         (sum(F.col(c) for c in counts) > 0).alias("has_pii"))
 
 
+def pii_report(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(id, n_emails, n_ips, n_phones, has_pii, scrubbed) in ONE projection.
+
+    The per-kind counts are taken on the progressively-redacted text, so
+    the text after the last replace IS ``scrub_pii``'s output — computing
+    counts and scrubbed text as two operators and joining them back (the
+    r5 driver-query shape) ran the three-regex chain twice and paid a
+    corpus shuffle for the join; this is the same expressions once, as a
+    narrow map (guide §2.4)."""
+    out = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    counts = []
+    for name, pat, token in _ORDERED:
+        out = out.withColumn(f"n_{name}s", F.regexp_count("_t", F.lit(pat)))
+        out = out.withColumn("_t", F.regexp_replace("_t", pat, token))
+        counts.append(f"n_{name}s")
+    return out.select(
+        F.col(id_col), *[F.col(c).cast("bigint").alias(c) for c in counts],
+        (sum(F.col(c) for c in counts) > 0).alias("has_pii"),
+        F.col("_t").alias("scrubbed"))
+
+
 def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text",
               out_col: str | None = None) -> DataFrame:

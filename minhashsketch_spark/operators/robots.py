@@ -75,19 +75,25 @@ def _path_expr(url_col: str):
 def robots_compliance(docs: DataFrame, robots: DataFrame,
                       url_col: str = "url") -> DataFrame:
     """docs + per-url verdict: (url..., robots_disallowed boolean). The
-    rules dimension broadcasts; the corpus side stays unshuffled (one
-    equi-join on host + a startswith predicate)."""
-    rules = F.broadcast(disallow_rules(robots))
+    rules dimension is aggregated to ONE row per host (prefix array) and
+    broadcast, so the verdict is a single broadcast left join plus an
+    ``exists`` over the host's prefixes — the corpus is never shuffled.
+    (The r5 shape semi-joined for hits and then LEFT-joined the hit set
+    back on url: two corpus shuffles for a per-row predicate.)"""
+    per_host = F.broadcast(
+        disallow_rules(robots)
+        .groupBy("host")
+        .agg(F.collect_list("prefix").alias("_prefixes")))
     d = docs.withColumn("_host", host_expr(url_col)) \
             .withColumn("_path", _path_expr(url_col))
-    hit = (d.join(rules, (F.col("_host") == F.col("host"))
-                  & F.col("_path").startswith(F.col("prefix")), "left_semi")
-           .select(F.col(url_col)).distinct()
-           .withColumn("robots_disallowed", F.lit(True)))
-    return (d.join(hit, url_col, "left")
-            .withColumn("robots_disallowed",
-                        F.coalesce("robots_disallowed", F.lit(False)))
-            .drop("_host", "_path", "host", "prefix"))
+    path = F.col("_path")
+    return (d.join(per_host, F.col("_host") == F.col("host"), "left")
+            .withColumn(
+                "robots_disallowed",
+                F.coalesce(
+                    F.exists("_prefixes", lambda p: path.startswith(p)),
+                    F.lit(False)))
+            .drop("_host", "_path", "host", "_prefixes"))
 
 
 def filter_robots_disallowed(docs: DataFrame, robots: DataFrame,

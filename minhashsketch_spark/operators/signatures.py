@@ -41,7 +41,8 @@ SIG_SCHEMA = ("url string, n_shingles bigint, sig array<bigint>, "
 
 
 def compute_signatures(docs: DataFrame, cfg: PipelineConfig,
-                       url_col: str = "url", text_col: str = "text") -> DataFrame:
+                       url_col: str = "url", text_col: str = "text",
+                       keep_text: bool = False) -> DataFrame:
     """documents(url, text, ...) -> (url, n_shingles, sig[t], bands[b], sig_key).
 
     ``mapInArrow``: texts are read zero-copy out of the Arrow string
@@ -49,6 +50,12 @@ def compute_signatures(docs: DataFrame, cfg: PipelineConfig,
     assembled directly from the flat (n, t) NumPy block with one
     ``ListArray.from_arrays`` — measurably faster than the pandas round
     trip for wide array columns.
+
+    ``keep_text=True`` appends the input text as a trailing ``text``
+    column — a zero-copy Arrow passthrough. Index builds that persist
+    (signature, text) rows per url previously re-joined the signatures
+    against the corpus on url: a full SMJ shuffle of the text bytes for
+    data that was already in the UDF's input batch (guide §2.4).
     """
     import pyarrow as pa
 
@@ -98,17 +105,24 @@ def compute_signatures(docs: DataFrame, cfg: PipelineConfig,
             band_col = pa.ListArray.from_arrays(
                 pa.array(np.arange(0, (n + 1) * bands, bands, dtype=np.int32)),
                 pa.array(bk.reshape(-1)))
-            yield pa.RecordBatch.from_arrays(
-                [urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls,
-                 pa.array(counts), sig_col, band_col, pa.array(sk)],
-                names=["url", "n_shingles", "sig", "bands", "sig_key"])
+            arrays = [urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls,
+                      pa.array(counts), sig_col, band_col, pa.array(sk)]
+            names = ["url", "n_shingles", "sig", "bands", "sig_key"]
+            if keep_text:
+                # zero-copy: the input batch's own string buffer (downcast
+                # the rare large_string batch to match the declared schema)
+                arrays.append(tarr.cast(pa.string())
+                              if pa.types.is_large_string(tarr.type) else tarr)
+                names.append("text")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     from ..partitioning import ensure_parallelism
 
+    schema = SIG_SCHEMA + (", text string" if keep_text else "")
     return (
         ensure_parallelism(
             docs.select(F.col(url_col).alias("url"), F.col(text_col).alias(text_col)))
-        .mapInArrow(gen, schema=SIG_SCHEMA)
+        .mapInArrow(gen, schema=schema)
     )
 
 

@@ -20,6 +20,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# embedding tables at or under this row count are broadcast into the
+# exact-cosine attach joins of embedding_near_dup_pairs (~64 doubles + id
+# per row -> <= ~160 MB framed); larger tables keep the shuffle-join plan
+BROADCAST_VECTOR_LIMIT = 300_000
+
+
 def _cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
@@ -314,13 +320,35 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                 F.greatest("prev", "vec_id").alias("id_b"))
     )
     cand = within.union(chains).dropDuplicates(["id_a", "id_b"])
-    c = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    va = c.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = c.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    raw = _cosine(F.col("va"), F.col("vb"))
+    # exact-cosine attach (guide §3.1/§8): the candidate set scales with
+    # sum(bucket_size^2) — at n vectors it dwarfs the vector table itself,
+    # and the r5 SMJ plan shuffled AND sorted the (pair x 64-double-array)
+    # intermediate for the second attach. Instead: (a) per-vector norms are
+    # computed ONCE per embedding row (identical fold expression, so the
+    # floats are bit-equal to the per-pair evaluation they replace) and
+    # (b) when the vector table is broadcast-sized it is broadcast into
+    # both attaches, so the only shuffle left is the candidate dedup.
+    # Fallback above the gate: the r5 shuffle joins.
+    norm = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+    c = (embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+         .withColumn("nv", norm))
+    small = embeddings.count() <= BROADCAST_VECTOR_LIMIT
+    if small:
+        c = F.broadcast(c)
+    va = c.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                  F.col("nv").alias("na"))
+    vb = c.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                  F.col("nv").alias("nb"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    # same float ops in the same order as the r5 inline _cosine — evaluated
+    # ONCE into a column (the r5 plan evaluated the full cosine twice per
+    # surviving row: once in the filter, once in the projection)
     return (
         cand.join(va, "id_a").join(vb, "id_b")
-        .filter(raw >= threshold)
-        .withColumn("cosine", F.round(raw, 6))
+        .withColumn("_raw", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("_raw") >= threshold)
+        .withColumn("cosine", F.round("_raw", 6))
         .select("id_a", "id_b", "cosine")
     )

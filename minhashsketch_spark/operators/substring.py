@@ -93,6 +93,18 @@ def substring_dup_pairs(docs: DataFrame, k: int = 8, w: int = 16,
     )
     ta = docs.select(F.col(id_col).alias("url_a"), F.col(text_col).alias("text_a"))
     tb = docs.select(F.col(id_col).alias("url_b"), F.col(text_col).alias("text_b"))
+    # candidate pairs are <<1% of the corpus by construction (min_shared +
+    # max_df pruning): materialize + count them, and when small broadcast
+    # the pair spine into the text attaches so the corpus text is never
+    # shuffled, with the b-side hash-joined instead of sort-merged (the fat
+    # pair x text_a intermediate is shuffled once, never sorted). Large
+    # candidate sets keep the r5 shuffle-join plan (guide §3.1).
+    from .verify import BROADCAST_PAIR_LIMIT
+
+    cands = cands.localCheckpoint()
+    if cands.count() <= BROADCAST_PAIR_LIMIT:
+        cands = F.broadcast(cands)
+        tb = tb.hint("shuffle_hash")
     joined = cands.join(ta, "url_a").join(tb, "url_b")
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

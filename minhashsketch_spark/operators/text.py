@@ -52,14 +52,26 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# digit / punctuation character counts via translate() (delete the class,
+# diff the lengths): count-identical to the r5 regexp_replace("[^...]","")
+# spelling but a straight char-map instead of a regex engine pass — the
+# quality score runs over every byte of the corpus (guide §1.2 step 2)
+def _n_digits(text):
+    return F.length(text) - F.length(F.translate(text, "0123456789", ""))
+
+
+def _n_punct(text):
+    return F.length(text) - F.length(F.translate(text, "!.,;:?", ""))
+
+
 def quality_score_expr(text_col: str = "text"):
     """The composite 0-100 quality score as a pure Column expression — so a
     filter can apply it inline on a wide row (one scan, no join-back; the
     operator below is the standalone projection form)."""
     text = F.col(text_col)
     n = F.length(text)
-    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    punct = F.length(F.regexp_replace(text, r"[^!.,;:?]", ""))
+    digits = _n_digits(text)
+    punct = _n_punct(text)
     n_tokens = _token_count(text)
     return (
         F.when(n == 0, F.lit(0.0))
@@ -80,9 +92,8 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     hits, plus a composite 0-100 score. All JVM-side string built-ins."""
     text = F.col(text_col)
     n = F.length(text)
-    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    # simple explicit class — identical semantics in Java regex and RE2
-    punct = F.length(F.regexp_replace(text, r"[^!.,;:?]", ""))
+    digits = _n_digits(text)
+    punct = _n_punct(text)
     the_hits = F.size(F.split(F.concat(F.lit(" "), text, F.lit(" ")), r"\sthe\s")) - 1
     score = quality_score_expr(text_col)
     return docs.select(

@@ -30,18 +30,34 @@ from ..config import PipelineConfig
 from ..core.shingles import distinct_shingles
 
 
-def minhash_estimate(pairs: DataFrame, signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
+# candidate-pair frames at or under this row count are broadcast into the
+# attach joins (pairs are <<1% of the corpus by LSH design — the broadcast
+# keeps the heavy signature/shingle frames UNSHUFFLED, guide §3.1/§8); above
+# it the joins fall back to the shuffle plans (scale-safe default).  1M pair
+# rows ~ 60 MB framed — comfortably within executor broadcast budgets.
+BROADCAST_PAIR_LIMIT = 1_000_000
+
+
+def minhash_estimate(pairs: DataFrame, signatures: DataFrame, cfg: PipelineConfig,
+                     broadcast_pairs: bool = False) -> DataFrame:
     """(url_a, url_b) + signatures -> + est_sim (reference estimator).
 
     m == 1 only: positional zip_with equality IS the two-pointer match
     count when each list has one element. For m > 1 use
     ``minhash_estimate_m`` (positional equality would undercount — see
-    src/Hash.cu:65-78, the pointers advance independently)."""
+    src/Hash.cu:65-78, the pointers advance independently).
+
+    ``broadcast_pairs``: the pair set is known-small (counted by the
+    caller) — broadcast it so the signature table is never shuffled for
+    the a-side attach, and hash-join (no sort) the b-side."""
     if cfg.m != 1:
         raise ValueError("minhash_estimate is the m==1 fast path; "
                          "use minhash_estimate_m for m > 1")
     sig_a = signatures.select(F.col("url").alias("url_a"), F.col("sig").alias("sig_a"))
     sig_b = signatures.select(F.col("url").alias("url_b"), F.col("sig").alias("sig_b"))
+    if broadcast_pairs:
+        pairs = F.broadcast(pairs)
+        sig_b = sig_b.hint("shuffle_hash")
     return (
         pairs.join(sig_a, "url_a").join(sig_b, "url_b")
         .withColumn(
@@ -91,11 +107,17 @@ def minhash_estimate_m(pairs: DataFrame, signatures: DataFrame,
 
 
 def shingle_sets_for(docs: DataFrame, urls: DataFrame, cfg: PipelineConfig,
-                     url_col: str = "url", text_col: str = "text") -> DataFrame:
-    """Distinct shingle-hash sets, computed only for ``urls`` (semi join)."""
+                     url_col: str = "url", text_col: str = "text",
+                     broadcast_urls: bool = False) -> DataFrame:
+    """Distinct shingle-hash sets, computed only for ``urls`` (semi join).
+
+    ``broadcast_urls``: the url set is known-small — broadcast the semi-join
+    build side so the corpus scan is never shuffled (guide §3.1)."""
     k = cfg.k
-    needed = docs.join(urls.select(F.col("url").alias(url_col)).distinct(),
-                       on=url_col, how="left_semi")
+    url_set = urls.select(F.col("url").alias(url_col)).distinct()
+    if broadcast_urls:
+        url_set = F.broadcast(url_set)
+    needed = docs.join(url_set, on=url_col, how="left_semi")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -116,7 +138,8 @@ def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
                    cfg: PipelineConfig, url_col: str = "url",
                    text_col: str = "text",
                    checkpoint_sigs: bool = True,
-                   with_containment: bool = False) -> DataFrame:
+                   with_containment: bool = False,
+                   checkpoint_pairs: bool = True) -> DataFrame:
     """Full verification: est_sim (reference estimator) + exact jaccard.
 
     Output: (url_a, url_b, est_sim, jaccard, is_dup) where is_dup applies
@@ -134,7 +157,16 @@ def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
     ``checkpoint_sigs=False`` when the signature frame is already
     materialized (parquet/bucketed-table-backed, or checkpointed by the
     caller): localCheckpoint'ing e.g. a full index's signatures here would
-    copy the whole index into executor storage.
+    copy the whole index into executor storage. Likewise
+    ``checkpoint_pairs=False`` for a parquet-backed candidate table.
+
+    Join strategy (guide §3.1/§8): the pair set is <<1% of the corpus by
+    LSH design, and after the eager materialization its exact size is one
+    cheap count away — when it is under ``BROADCAST_PAIR_LIMIT`` rows the
+    pair spine is BROADCAST into every attach join, so the heavy frames
+    (signatures, shingle sets) are never shuffled for the a-side attaches,
+    and the b-side attaches hash-join without sorting the array payloads.
+    Above the limit every join falls back to the previous shuffle plans.
     """
     # both stages consume ``signatures``/``sets_df`` twice (a-side, b-side);
     # EAGER localCheckpoint so the UDFs run exactly once — a lazy persist
@@ -142,13 +174,24 @@ def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
     # full pipeline these arrive as parquet-checkpointed tables anyway.
     if checkpoint_sigs:
         signatures = signatures.localCheckpoint()
-    pairs = pairs.localCheckpoint()
-    est = minhash_estimate(pairs, signatures, cfg)
+    if checkpoint_pairs:
+        pairs = pairs.localCheckpoint()
+    # the count is ~free: pairs is either just-materialized executor storage
+    # or a parquet stage table whose count comes from footer metadata
+    small = pairs.count() <= BROADCAST_PAIR_LIMIT
+    est = minhash_estimate(pairs, signatures, cfg, broadcast_pairs=small)
     all_urls = (pairs.select(F.col("url_a").alias("url"))
                 .unionByName(pairs.select(F.col("url_b").alias("url"))).distinct())
-    sets_df = shingle_sets_for(docs, all_urls, cfg, url_col, text_col).localCheckpoint()
+    sets_df = shingle_sets_for(docs, all_urls, cfg, url_col, text_col,
+                               broadcast_urls=small).localCheckpoint()
     sh_a = sets_df.select(F.col("url").alias("url_a"), F.col("shingles").alias("sh_a"))
     sh_b = sets_df.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b"))
+    if small:
+        # est is pair-sized and light (urls + two doubles): broadcasting it
+        # keeps sh_a unshuffled; the second attach hash-joins so the fat
+        # (pair x shingle-array) intermediate is shuffled once, never sorted
+        est = F.broadcast(est)
+        sh_b = sh_b.hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     out = (

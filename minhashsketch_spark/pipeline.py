@@ -134,7 +134,13 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
     candidates = stage("candidates", lambda: candidate_pairs(signatures, cfg),
                        metrics=cand_metrics)
     verified = stage("verified",
-                     lambda: verified_pairs(candidates, signatures, docs, cfg, url_col, text_col),
+                     # signatures + candidates are parquet stage tables here:
+                     # re-planning them is ~free, so skip verified_pairs'
+                     # executor-storage copies (localCheckpoint) of both
+                     lambda: verified_pairs(candidates, signatures, docs, cfg,
+                                            url_col, text_col,
+                                            checkpoint_sigs=False,
+                                            checkpoint_pairs=False),
                      # counted inside the lineage job — the clusters stage
                      # reads it from the manifest instead of re-counting
                      extra_aggs={"n_dup_pairs":

@@ -145,7 +145,11 @@ def streaming_incremental_dedup(spark: SparkSession, input_path: str,
 
     def process_batch(batch_df, bid: int) -> None:
         batch_df = batch_df.localCheckpoint()  # consumed by dedup + delta
-        sig_n = compute_signatures(batch_df, cfg).localCheckpoint()
+        # keep_text: the delta partition needs (signatures, text) per url —
+        # the Arrow passthrough makes the checkpointed signature frame carry
+        # both, instead of re-joining the batch on url for the delta write
+        sig_n = compute_signatures(batch_df, cfg,
+                                   keep_text=True).localCheckpoint()
         ver = dedup_batch_against_index(
             spark, batch_df, bid, index_table, delta_path, cfg, sig_n=sig_n)
         (ver.withColumn("batch_id", F.lit(int(bid)))
@@ -155,8 +159,7 @@ def streaming_incremental_dedup(spark: SparkSession, input_path: str,
         # delta partition: docs + signatures of this batch become part of
         # the index every LATER batch sees (written after the pairs so a
         # crash between the writes replays into the same idempotent state)
-        (sig_n.join(batch_df.select("url", "text"), "url")
-              .withColumn("batch_id", F.lit(int(bid)))
+        (sig_n.withColumn("batch_id", F.lit(int(bid)))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id").parquet(delta_path))
