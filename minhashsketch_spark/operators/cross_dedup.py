@@ -189,8 +189,15 @@ def build_band_index(spark: SparkSession, index_docs: DataFrame,
         salted.select(_jk(F.col("band_key"), F.col("salt")).alias("jk"),
                       "band_key", "salt", "url_idx"),
         f"{table}_bands", "jk", n_buckets, path=p("bands"))
+    # the dim rows are a pure function of the per-band sizes: deriving them
+    # from the sizes agg directly (explode + hash-agg over the stored sigs)
+    # skips re-planning the full salted join a second time for this write
+    # (n_salt is constant per band, so this equals max(n_salt) over salted)
+    sizes = ib.groupBy("band_key").agg(F.count("*").alias("bucket_size"))
     write_bucketed(
-        salted.groupBy("band_key").agg(F.max("n_salt").alias("n_salt")),
+        sizes.select("band_key",
+                     F.ceil(F.col("bucket_size") / F.lit(cfg.bucket_cap))
+                     .cast("int").alias("n_salt")),
         f"{table}_dim", "band_key", n_buckets, path=p("dim"))
     if path_root:
         # self-describing layout: a fresh driver (restarted continuous-crawl

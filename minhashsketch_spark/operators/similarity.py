@@ -319,15 +319,23 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
         .select(F.least("prev", "vec_id").alias("id_a"),
                 F.greatest("prev", "vec_id").alias("id_b"))
     )
-    cand = within.union(chains).dropDuplicates(["id_a", "id_b"])
+    cand = within.union(chains)
     # exact-cosine attach (guide §3.1/§8): the candidate set scales with
-    # sum(bucket_size^2) — at n vectors it dwarfs the vector table itself,
-    # and the r5 SMJ plan shuffled AND sorted the (pair x 64-double-array)
-    # intermediate for the second attach. Instead: (a) per-vector norms are
-    # computed ONCE per embedding row (identical fold expression, so the
-    # floats are bit-equal to the per-pair evaluation they replace) and
-    # (b) when the vector table is broadcast-sized it is broadcast into
-    # both attaches, so the only shuffle left is the candidate dedup.
+    # sum(bucket_size^2) — at n vectors it dwarfs the vector table itself
+    # (50M pre-dedup pair rows from 20k vectors at sf1.0), and the r5 SMJ
+    # plan shuffled AND sorted the (pair x 64-double-array) intermediate
+    # for the second attach. Instead: (a) per-vector norms are computed
+    # ONCE per embedding row (identical fold expression, so the floats are
+    # bit-equal to the per-pair evaluation they replace); (b) when the
+    # vector table is broadcast-sized it is broadcast into both attaches
+    # (equi-only — nothing shuffled or sorted before the dedup); (c) the
+    # cosine is computed in ONE projection and the pair dedup sits between
+    # that projection and the threshold filter: an Aggregate is a predicate
+    # -pushdown barrier, so the filter cannot be folded into the second
+    # join's condition, where Catalyst otherwise re-evaluates the whole
+    # dot-product fold per matched row on top of the projection's copy
+    # (measured 2-4x on the attach stage). Cosine per pair is
+    # deterministic, so dedup-then-filter equals filter-then-dedup.
     # Fallback above the gate: the r5 shuffle joins.
     norm = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
                               F.lit(0.0), lambda acc, v: acc + v))
@@ -342,13 +350,12 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                   F.col("nv").alias("nb"))
     dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
-    # same float ops in the same order as the r5 inline _cosine — evaluated
-    # ONCE into a column (the r5 plan evaluated the full cosine twice per
-    # surviving row: once in the filter, once in the projection)
     return (
         cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn("_raw", dot / (F.col("na") * F.col("nb")))
-        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b",
+                (dot / (F.col("na") * F.col("nb"))).alias("_raw"))
         .withColumn("cosine", F.round("_raw", 6))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("_raw") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -102,23 +102,40 @@ def dedup_batch_against_index(spark: SparkSession, batch_df: DataFrame,
     cand = (cand.filter(F.col("url_new") != F.col("url_idx"))
             .dropDuplicates(["url_new", "url_idx"])
             .select(F.col("url_new").alias("url_a"),
-                    F.col("url_idx").alias("url_b")))
+                    F.col("url_idx").alias("url_b"))
+            .localCheckpoint())
+    # restrict the sig/doc unions to the candidate partners BEFORE the
+    # per-url dedup: the r5 shape ran dropDuplicates(["url"]) over the FULL
+    # index union, re-shuffling every index row's signature and text bytes
+    # per micro-batch for a crash-window that only matters on the rows that
+    # actually join (guide §2.3 — shuffle the candidate slice, not the
+    # corpus). The pair urls are batch-scale: broadcast the semi-join build
+    # side under the same gate verified_pairs uses.
+    from ..operators.verify import BROADCAST_PAIR_LIMIT
+
+    pair_urls = (cand.select(F.col("url_a").alias("url"))
+                 .unionByName(cand.select(F.col("url_b").alias("url")))
+                 .distinct())
+    if cand.count() <= BROADCAST_PAIR_LIMIT:
+        pair_urls = F.broadcast(pair_urls)
     # a url may legitimately appear on BOTH the index and delta side of the
     # union during the compaction crash window (folded into _sigs, delta
-    # not yet cleared); signatures/texts are deterministic per url, so
-    # dedup here keeps the later verification joins from multiplying pair
-    # rows (ADVICE r4 — the candidate-side dropDuplicates alone ran before
-    # these joins)
+    # not yet cleared); signatures/texts are deterministic per url, so the
+    # per-url dedup (now over candidate partners only) keeps the
+    # verification joins from multiplying pair rows (ADVICE r4)
     all_sigs = sigs[0]
     for s in sigs[1:]:
         all_sigs = all_sigs.unionByName(s)
-    all_sigs = all_sigs.dropDuplicates(["url"])
+    all_sigs = (all_sigs.join(pair_urls, "url", "left_semi")
+                .dropDuplicates(["url"]))
     all_docs = docs[0]
     for d in docs[1:]:
         all_docs = all_docs.unionByName(d)
-    all_docs = all_docs.dropDuplicates(["url"])
+    all_docs = (all_docs.join(pair_urls, "url", "left_semi")
+                .dropDuplicates(["url"]))
     ver = verified_pairs(cand, all_sigs, all_docs, cfg,
-                         checkpoint_sigs=False)  # batch ckpt'd, rest parquet
+                         checkpoint_sigs=False,  # batch ckpt'd, rest parquet
+                         checkpoint_pairs=False)  # materialized above
     return ver.select(F.col("url_a").alias("url_new"),
                       F.col("url_b").alias("url_idx"),
                       "est_sim", "jaccard", "is_dup")

@@ -279,3 +279,62 @@ def test_eager_if_python_materializes_only_udf_frames(spark):
 
     arrow_frame = scan.select("doc_id").mapInArrow(ident, schema="doc_id bigint")
     assert eager_if_python(arrow_frame) is not arrow_frame
+
+
+def test_line_dedup_never_shuffles_text(spark):
+    """r6 rewrite (VERDICT r5 #2): line-level dedup may shuffle only the
+    (doc_id, xxhash64(line)) int pairs — NO Exchange in the plan may carry
+    the text or line column. The boilerplate keys travel as a one-row
+    broadcast array; cleaning is a narrow per-row split/filter."""
+    import re
+
+    from minhashsketch_spark.operators.dedup_corpus import line_dedup_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(line_dedup_stats(docs, min_df=2))
+    blocks = re.split(r"^\(\d+\) ", plan, flags=re.M)
+    for blk in blocks:
+        if blk.startswith("Exchange"):
+            inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", blk)
+            assert inp, blk
+            assert not re.search(r"\b(text|line)\b", inp.group(1)), blk
+
+
+def test_verified_pairs_small_path_broadcasts_pair_spine(spark):
+    """r6: under the pair-count gate the pair spine must be BROADCAST into
+    the attach joins (signatures / shingle sets never shuffled for the
+    a-side) and the b-side attach must hash-join, not sort-merge — the fat
+    (pair x shingle-array) intermediate is shuffled once, never sorted."""
+    from minhashsketch_spark.operators.lsh import candidate_pairs
+    from minhashsketch_spark.operators.signatures import compute_signatures
+    from minhashsketch_spark.operators.verify import verified_pairs
+    from minhashsketch_spark.sources.corpus import corpus_dataframe
+
+    cfg = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=1, threshold=0.7)
+    docs, _ = corpus_dataframe(spark, n_docs=60, seed=4)
+    sigs = compute_signatures(docs, cfg).localCheckpoint()
+    pairs = candidate_pairs(sigs, cfg)
+    plan = _plan(verified_pairs(pairs, sigs, docs, cfg, checkpoint_sigs=False))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_embedding_near_dup_attach_is_broadcast(spark):
+    """r6: under the vector-table gate the exact-cosine attaches must be
+    broadcast EQUI joins — the candidate set is never sort-merge-joined
+    against the vector table, and the cosine fold must NOT be folded into
+    a join condition (Catalyst would evaluate the whole dot product per
+    matched row on top of the projection's copy; the dedup aggregate
+    between projection and threshold filter is the pushdown barrier)."""
+    import re
+
+    from minhashsketch_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(embedding_near_dup_pairs(emb, threshold=0.4,
+                                          n_tables=4, n_planes=4))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for cond in re.findall(r"Join condition: (.*)", plan):
+        assert "zip_with" not in cond, cond

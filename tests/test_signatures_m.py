@@ -64,3 +64,29 @@ def test_m4_bands_group_identical_sketches(spark, docs):
         for ub in dup_urls[i + 1:]:
             if texts[ua] == texts[ub]:
                 assert (min(ua, ub), max(ua, ub)) in cand
+
+
+def test_compute_signatures_keep_text_passthrough(spark):
+    """keep_text=True must append the exact input text as a trailing
+    column while leaving every signature column identical to the
+    keep_text=False output (the Arrow passthrough replaces the index
+    build's sigs-join-texts shuffle, so byte identity is the contract)."""
+    from pyspark.sql import functions as F
+
+    from minhashsketch_spark.config import PipelineConfig
+    from minhashsketch_spark.operators.signatures import compute_signatures
+
+    cfg = PipelineConfig(k=9, m=1, t=16, bands=4, rows=4, seed=7, threshold=0.7)
+    docs = spark.createDataFrame(
+        [("u1", "some text body"), ("u2", ""), ("u3", None),
+         ("u4", "ünïcode € text"), ("u5", "x" * 2000)],
+        "url string, text string")
+    plain = {r["url"]: r for r in compute_signatures(docs, cfg).collect()}
+    kept = {r["url"]: r for r in
+            compute_signatures(docs, cfg, keep_text=True).collect()}
+    texts = {r["url"]: r["text"] for r in docs.collect()}
+    assert set(kept) == set(plain) == set(texts)
+    for u in plain:
+        for c in ("n_shingles", "sig", "bands", "sig_key"):
+            assert kept[u][c] == plain[u][c], (u, c)
+        assert kept[u]["text"] == texts[u], u
