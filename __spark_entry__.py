@@ -105,7 +105,11 @@ def _q_minhash_candidates(spark, sf_dir):
     (the DuckDB oracle recomputes minhash + the splitmix64 band-key
     avalanche in HUGEINT; at the flagship t=128 the same oracle is correct
     but ~100 s — the t=128 path stays covered end-to-end by near_dup_*)."""
-    sigs = compute_signatures(_docs_as_urls(spark, sf_dir), CFG32)
+    # checkpoint the signature frame itself (not the exploded bands copy
+    # eager_if_python would otherwise materialize) — one UDF pass, and the
+    # salting fan-out re-plans a cheap explode instead of storing
+    # n_docs x bands rows twice
+    sigs = compute_signatures(_docs_as_urls(spark, sf_dir), CFG32).localCheckpoint()
     return candidate_pairs(sigs, CFG32)
 
 
