@@ -99,12 +99,17 @@ def substring_dup_pairs(docs: DataFrame, k: int = 8, w: int = 16,
     # shuffled, with the b-side hash-joined instead of sort-merged (the fat
     # pair x text_a intermediate is shuffled once, never sorted). Large
     # candidate sets keep the r5 shuffle-join plan (guide §3.1).
-    from .verify import BROADCAST_PAIR_LIMIT
+    from .verify import BROADCAST_PAIR_LIMIT, DIRECT_JOIN_PAIR_LIMIT
 
     cands = cands.localCheckpoint()
-    if cands.count() <= BROADCAST_PAIR_LIMIT:
+    n_cands = cands.count()
+    if n_cands <= BROADCAST_PAIR_LIMIT:
         cands = F.broadcast(cands)
-        tb = tb.hint("shuffle_hash")
+        if n_cands > DIRECT_JOIN_PAIR_LIMIT:
+            # tiny candidate sets keep the planner's zero-Exchange
+            # all-broadcast plan; the no-sort hash join only pays once the
+            # (pair x text) intermediate is big enough to matter
+            tb = tb.hint("shuffle_hash")
     joined = cands.join(ta, "url_a").join(tb, "url_b")
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -36,10 +36,18 @@ from ..core.shingles import distinct_shingles
 # it the joins fall back to the shuffle plans (scale-safe default).  1M pair
 # rows ~ 60 MB framed — comfortably within executor broadcast budgets.
 BROADCAST_PAIR_LIMIT = 1_000_000
+# under THIS count the b-side shuffle_hash hints are dropped too: with a
+# tiny pair set every attach input is tiny, the planner's own stats produce
+# the all-broadcast zero-Exchange plan, and a forced hash-join would ADD
+# two exchanges of pure scheduling latency (measured ~+0.5-1 s/query at
+# sf0.1). The hints only pay once the fat (pair x payload) intermediate is
+# big enough that an estimate-driven plan would sort or mis-broadcast it.
+DIRECT_JOIN_PAIR_LIMIT = 50_000
 
 
 def minhash_estimate(pairs: DataFrame, signatures: DataFrame, cfg: PipelineConfig,
-                     broadcast_pairs: bool = False) -> DataFrame:
+                     broadcast_pairs: bool = False,
+                     hash_join_b_side: bool = False) -> DataFrame:
     """(url_a, url_b) + signatures -> + est_sim (reference estimator).
 
     m == 1 only: positional zip_with equality IS the two-pointer match
@@ -57,7 +65,8 @@ def minhash_estimate(pairs: DataFrame, signatures: DataFrame, cfg: PipelineConfi
     sig_b = signatures.select(F.col("url").alias("url_b"), F.col("sig").alias("sig_b"))
     if broadcast_pairs:
         pairs = F.broadcast(pairs)
-        sig_b = sig_b.hint("shuffle_hash")
+        if hash_join_b_side:
+            sig_b = sig_b.hint("shuffle_hash")
     return (
         pairs.join(sig_a, "url_a").join(sig_b, "url_b")
         .withColumn(
@@ -178,8 +187,13 @@ def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
         pairs = pairs.localCheckpoint()
     # the count is ~free: pairs is either just-materialized executor storage
     # or a parquet stage table whose count comes from footer metadata
-    small = pairs.count() <= BROADCAST_PAIR_LIMIT
-    est = minhash_estimate(pairs, signatures, cfg, broadcast_pairs=small)
+    n_pairs = pairs.count()
+    small = n_pairs <= BROADCAST_PAIR_LIMIT
+    # tiny pair sets keep the planner's own zero-Exchange all-broadcast
+    # plan: a forced hash join would only add exchanges (see gate comment)
+    hash_b = small and n_pairs > DIRECT_JOIN_PAIR_LIMIT
+    est = minhash_estimate(pairs, signatures, cfg, broadcast_pairs=small,
+                           hash_join_b_side=hash_b)
     all_urls = (pairs.select(F.col("url_a").alias("url"))
                 .unionByName(pairs.select(F.col("url_b").alias("url"))).distinct())
     sets_df = shingle_sets_for(docs, all_urls, cfg, url_col, text_col,
@@ -188,10 +202,12 @@ def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
     sh_b = sets_df.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b"))
     if small:
         # est is pair-sized and light (urls + two doubles): broadcasting it
-        # keeps sh_a unshuffled; the second attach hash-joins so the fat
-        # (pair x shingle-array) intermediate is shuffled once, never sorted
+        # keeps sh_a unshuffled; past DIRECT_JOIN_PAIR_LIMIT the second
+        # attach hash-joins so the fat (pair x shingle-array) intermediate
+        # is shuffled once, never sorted
         est = F.broadcast(est)
-        sh_b = sh_b.hint("shuffle_hash")
+        if hash_b:
+            sh_b = sh_b.hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     out = (
