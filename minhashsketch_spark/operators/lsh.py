@@ -89,15 +89,21 @@ def salt_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
 
 def candidate_pairs(signatures: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """signatures -> distinct (url_a, url_b) candidate pairs, url_a < url_b."""
+    from ..partitioning import eager_if_python
+
     bands = explode_bands(signatures)
     salted = salt_hot_buckets(bands, cfg.bucket_cap)
-    # materialize before the self-join: otherwise Catalyst plans the
-    # signature UDF + band windows TWICE (once per join side) — at scale the
-    # signature stage is the most expensive narrow stage in the pipeline.
-    # EAGER localCheckpoint, not lazy persist: the join sides + chain window
-    # would otherwise race to compute the same partitions (in run_pipeline
-    # the signatures additionally arrive from a parquet checkpoint)
-    salted = salted.localCheckpoint()
+    # materialize before the self-join ONLY when a Python UDF computes the
+    # salted frame (ad-hoc callers passing raw compute_signatures output):
+    # re-planning it would run the signature UDF once per consumer. For
+    # checkpointed/parquet-backed signatures (run_pipeline, the r6 driver
+    # queries) the three consumers re-plan a cheap explode + sizes join
+    # whose identical exchanges Spark de-duplicates (ReusedExchange), and
+    # nothing pins the docs x bands frame to executor storage — the
+    # r5 unconditional localCheckpoint held that PB-scale-at-10^12-docs
+    # frame in memory (VERDICT r5 watch item #3). EAGER when needed, never
+    # a lazy persist: racing consumers recompute the same partitions.
+    salted = eager_if_python(salted)
 
     left = salted.select("band_key", "salt", F.col("url").alias("url_a"))
     right = salted.select("band_key", "salt", F.col("url").alias("url_b"))

@@ -289,11 +289,13 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                     F.when(F.col("n_salt") <= 1, F.lit(0))
                     .otherwise(F.pmod(F.xxhash64("vec_id"), F.col("n_salt")).cast("int")))
     )
-    # materialize before the self-join: persist alone is lazy, so Catalyst
-    # would plan (and run) the hyperplane UDF once per join side; the keyed
-    # table is tiny (3 longs x n x tables) so an eager localCheckpoint is
-    # cheap and truncates the UDF out of the join lineage entirely
-    salted = salted.localCheckpoint()
+    # the hyperplane UDF output ``b`` is already eagerly materialized above;
+    # the salted frame derives from it with a cheap join that the three
+    # consumers re-plan (identical exchanges are de-duplicated) — only a
+    # Python-computed frame would need its own checkpoint here (r6: the
+    # unconditional localCheckpoint pinned an n x tables frame to executor
+    # storage for no recompute saving)
+    salted = eager_if_python(salted)
     a = salted.select(F.col("vec_id").alias("id_a"), "tbl", "bucket", "salt")
     bb = salted.select(F.col("vec_id").alias("id_b"), "tbl", "bucket", "salt")
     within = (
