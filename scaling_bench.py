@@ -100,15 +100,21 @@ def run(corpus_path: str, cpus: int) -> None:
     load_start = loadavg()
     t0 = time.time()
     compute_signatures(docs, cfg).write.mode("overwrite").parquet(sig_path)
+    t_sig = time.time() - t0  # narrow UDF + parquet write: embarrassingly parallel
     sigs = spark.read.parquet(sig_path)  # stage checkpoint, as in run_pipeline
     pairs = candidate_pairs(sigs, cfg)
     est = minhash_estimate(pairs, sigs, cfg)
     n_dup = est.filter(est.est_sim >= cfg.threshold).count()
     dt = time.time() - t0
+    # stage attribution (VERDICT r5 #3): t_join isolates the two-level
+    # hot-band path (sizes hash-agg + join, chain window, pair dedup,
+    # estimate joins) from the trivially-parallel signature stage, so an
+    # efficiency change can be pinned to the leg that caused it
     print(json.dumps({
         "cpus": int(cpus), "n_docs": n_docs, "text_mb": round(text_bytes / 1e6, 1),
         "seconds": round(dt, 2), "docs_per_sec": round(n_docs / dt, 1),
         "mb_per_sec": round(text_bytes / 1e6 / dt, 2), "dup_pairs": n_dup,
+        "t_signatures": round(t_sig, 2), "t_join_verify": round(dt - t_sig, 2),
         "loadavg_start": load_start, "loadavg_end": loadavg(),
     }))
     spark.stop()
