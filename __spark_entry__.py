@@ -23,7 +23,7 @@ from minhashsketch_spark.operators import similarity as S
 from minhashsketch_spark.operators import text as TX
 from minhashsketch_spark.operators.lsh import candidate_pairs
 from minhashsketch_spark.operators.signatures import compute_signatures
-from minhashsketch_spark.operators.verify import verified_pairs
+from minhashsketch_spark.operators.verify import est_prefilter_gate, verified_pairs
 from minhashsketch_spark.pipeline import run_pipeline
 
 # band layout PLANNED from the S-curve (config.plan_bands: largest rows/band
@@ -127,7 +127,10 @@ def _near_dup_exact_pairs(spark, sf_dir):
     docs = _docs_as_urls(spark, sf_dir)
     sigs = compute_signatures(docs, CFG).localCheckpoint()
     pairs = candidate_pairs(sigs, CFG)
-    ver = verified_pairs(pairs, sigs, docs, CFG, checkpoint_sigs=False)
+    # est-gate: the final filter is jaccard >= threshold, so the 6-sigma
+    # est pre-gate drops only pairs that cannot reach it (verify.py)
+    ver = verified_pairs(pairs, sigs, docs, CFG, checkpoint_sigs=False,
+                         est_gate=est_prefilter_gate(CFG))
     return ver.filter(F.col("jaccard") >= F.lit(CFG.threshold))
 
 
@@ -147,7 +150,8 @@ def _q_near_dup_containment(spark, sf_dir):
     sigs = compute_signatures(docs, CFG).localCheckpoint()
     pairs = candidate_pairs(sigs, CFG)
     ver = verified_pairs(pairs, sigs, docs, CFG, with_containment=True,
-                         checkpoint_sigs=False)
+                         checkpoint_sigs=False,
+                         est_gate=est_prefilter_gate(CFG))
     return (ver.filter(F.col("jaccard") >= F.lit(CFG.threshold))
             .select("url_a", "url_b", F.round("jaccard", 6).alias("jaccard"),
                     F.round("containment_a", 6).alias("containment_a"),

@@ -17,6 +17,7 @@ from .operators.dedup_corpus import (
     near_dedup_corpus_best,
 )
 from .operators.text import detected_lang_expr, quality_score_expr
+from .operators.verify import est_prefilter_gate
 from .pipeline import _track_auto_root, input_fingerprint, run_pipeline
 from .sources.io import StageStore
 
@@ -96,9 +97,13 @@ def curate(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
 
     if keeper not in ("min", "best"):
         raise ValueError(f"keeper must be 'min' or 'best', got {keeper!r}")
+    # curation consumes only clusters / is_dup from the pipeline, so the
+    # 6-sigma est pre-gate is safe here and skips exact-verifying the ~98%
+    # of LSH candidates that are random band collisions (verify.py)
     result = run_pipeline(spark, exact, cfg, checkpoint_root=checkpoint_root,
                           url_col=url_col, text_col=text_col,
-                          stage_key=stage_key)
+                          stage_key=stage_key,
+                          est_gate=est_prefilter_gate(cfg))
     if keeper == "best":
         near = near_dedup_corpus_best(exact, result["clusters"],
                                       quality_score_expr(text_col),

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from ..config import PipelineConfig
 from .lsh import explode_bands
 from .signatures import compute_signatures
-from .verify import verified_pairs
+from .verify import est_prefilter_gate, verified_pairs
 
 
 def _salted_index_bands(index_bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -120,7 +120,10 @@ def cross_corpus_dup_pairs(new_docs: DataFrame, index_docs: DataFrame,
     docs = (new_docs.select(F.col(url_col), F.col(text_col))
             .unionByName(index_docs.select(F.col(url_col), F.col(text_col))))
     ver = verified_pairs(cand, sigs, docs, cfg, url_col, text_col,
-                         checkpoint_sigs=False)  # both inputs pre-materialized
+                         checkpoint_sigs=False,  # both inputs pre-materialized
+                         # downstream = jaccard>=threshold / is_dup consumers
+                         # (entry queries, tests): 6-sigma est gate is safe
+                         est_gate=est_prefilter_gate(cfg))
     return ver.select(F.col("url_a").alias("url_new"),
                       F.col("url_b").alias("url_idx"),
                       "est_sim", "jaccard", "is_dup")
@@ -303,8 +306,11 @@ def cross_corpus_dup_pairs_indexed(spark: SparkSession, new_docs: DataFrame,
     docs = (new_docs.select(F.col(url_col).alias("url"),
                             F.col(text_col).alias("text"))
             .unionByName(idx_texts))
+    # est gate: same consumers as the ad-hoc form — both paths gate
+    # identically (the equality test compares their full outputs)
     ver = verified_pairs(cand, sigs, docs, cfg, "url", "text",
-                         checkpoint_sigs=False)  # parquet-backed + batch ckpt
+                         checkpoint_sigs=False,  # parquet-backed + batch ckpt
+                         est_gate=est_prefilter_gate(cfg))
     return ver.select(F.col("url_a").alias("url_new"),
                       F.col("url_b").alias("url_idx"),
                       "est_sim", "jaccard", "is_dup")

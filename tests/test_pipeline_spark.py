@@ -180,6 +180,50 @@ def test_exact_jaccard_column(spark):
         assert r["jaccard"] == pytest.approx(exact_jaccard(s1, s2), abs=1e-12)
 
 
+def test_est_gate_preserves_thresholded_outputs(spark):
+    """r6 est pre-gate: gating verified_pairs at est_prefilter_gate(cfg)
+    must keep every jaccard>=threshold row AND every is_dup row bit-equal
+    to the ungated run — the gate only drops pairs that neither filter can
+    keep. Also pins the gate formula's safety properties."""
+    from minhashsketch_spark.operators.verify import est_prefilter_gate
+
+    cfg = CFG
+    gate = est_prefilter_gate(cfg)
+    assert 0.0 <= gate < cfg.threshold
+    # t=128 flagship: 0.7 - 6*sqrt(0.7*0.3/128)
+    flag = PipelineConfig(k=9, m=1, t=128, bands=32, rows=4, seed=42,
+                          threshold=0.7)
+    assert est_prefilter_gate(flag) == pytest.approx(0.45697222, abs=1e-6)
+    docs_df, _ = corpus_dataframe(spark, n_docs=120, seed=13)
+    sigs = compute_signatures(docs_df, cfg).localCheckpoint()
+    # LSH candidates PLUS an all-pairs slice of the first docs: the slice
+    # guarantees low-est pairs exist, so the pruning assertion below is
+    # non-vacuous (the fixture's own candidates are nearly all real dups)
+    urls = docs_df.select("url").orderBy("url").limit(25)
+    brute = (urls.withColumnRenamed("url", "url_a")
+             .crossJoin(urls.withColumnRenamed("url", "url_b"))
+             .filter(F.col("url_a") < F.col("url_b")))
+    pairs = (candidate_pairs(sigs, cfg).unionByName(brute)
+             .dropDuplicates(["url_a", "url_b"]).localCheckpoint())
+    key = lambda r: (r["url_a"], r["url_b"], round(r["est_sim"], 12),
+                     round(r["jaccard"], 12), r["is_dup"])
+    full = verified_pairs(pairs, sigs, docs_df, cfg,
+                          checkpoint_sigs=False, checkpoint_pairs=False)
+    gated = verified_pairs(pairs, sigs, docs_df, cfg,
+                           checkpoint_sigs=False, checkpoint_pairs=False,
+                           est_gate=gate)
+    fj = sorted(key(r) for r in
+                full.filter(F.col("jaccard") >= cfg.threshold).collect())
+    gj = sorted(key(r) for r in
+                gated.filter(F.col("jaccard") >= cfg.threshold).collect())
+    assert len(fj) > 0 and fj == gj
+    fd = sorted(key(r) for r in full.filter("is_dup").collect())
+    gd = sorted(key(r) for r in gated.filter("is_dup").collect())
+    assert len(fd) > 0 and fd == gd
+    # and the gate really prunes something on this corpus (non-vacuous)
+    assert gated.count() < full.count()
+
+
 def test_resume_byte_identical(spark, tmp_path):
     cfg = CFG
     docs_df, _ = corpus_dataframe(spark, n_docs=80, seed=13)
