@@ -231,6 +231,13 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# corpora at or under this many docs get their aggregated (doc, term, tf)
+# frame eagerly materialized inside tfidf_top_terms so the corpus is
+# scanned once for tf + df (2M docs x ~50 distinct terms x ~30 B ~ 3 GB —
+# bounded executor storage); larger corpora keep the lazy two-scan plan
+TFIDF_EAGER_DOC_LIMIT = 2_000_000
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
                     text_col: str = "text", n_docs: int | None = None) -> DataFrame:
     """Top-k tf-idf terms per document: tf = in-doc occurrences, idf = the
@@ -262,6 +269,15 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
         .select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("term"))
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # tf has two consumers (the df aggregation and the join back) and the
+    # identical-subtree exchange is NOT reused by the planner (the plans
+    # show two full corpus scans). Under a doc-count gate, eagerly
+    # materialize the aggregated tf so the corpus is scanned/exploded
+    # once; above it stay lazy — executor storage must never hold a
+    # corpus-scale (doc, term) frame (same gate pattern as the broadcast
+    # limits in verify.py). Values are unchanged either way.
+    if n_docs <= TFIDF_EAGER_DOC_LIMIT:
+        tf = tf.localCheckpoint()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     score = (F.col("tf").cast("double") * F.lit(float(n_docs))) / F.col("df")
     from pyspark.sql.window import Window
