@@ -118,14 +118,25 @@ def test_repetition_stats_no_shuffle(spark):
     assert scan and "text" in scan[0] and "lang" not in scan[0]
 
 
-def test_tfidf_scan_prunes_and_stays_jvm(spark):
-    from minhashsketch_spark.operators.text import tfidf_top_terms
+def test_tfidf_scan_prunes_and_stays_jvm(spark, monkeypatch):
+    from minhashsketch_spark.operators import text as TX
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(tfidf_top_terms(docs, k=3))
+    # lazy (above-the-gate) path: the corpus scan is in the final plan —
+    # assert it prunes to (doc_id, text) and nothing crosses to Python
+    monkeypatch.setattr(TX, "TFIDF_EAGER_DOC_LIMIT", 0)
+    plan = _plan(TX.tfidf_top_terms(docs, k=3))
     assert "EvalPython" not in plan
     scan = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan and "lang" not in scan[0] and "source" not in scan[0]
+    # eager (r6 gated) path: tf is materialized once, so the final plan
+    # hangs off the checkpointed RDD — exactly one tf subtree, no second
+    # corpus scan, still no Python eval
+    monkeypatch.setattr(TX, "TFIDF_EAGER_DOC_LIMIT", 2_000_000)
+    plan = _plan(TX.tfidf_top_terms(docs, k=3))
+    assert "EvalPython" not in plan
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
 
 
 def test_cross_corpus_join_no_cartesian(spark):
