@@ -101,7 +101,8 @@ def cross_candidate_pairs(new_sigs: DataFrame, index_sigs: DataFrame,
 
 def cross_corpus_dup_pairs(new_docs: DataFrame, index_docs: DataFrame,
                            cfg: PipelineConfig, url_col: str = "url",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           est_gate: float | None | str = "auto") -> DataFrame:
     """Verified near-dup pairs (url_new, url_idx, est_sim, jaccard, is_dup)
     between an incoming batch and an existing index.
 
@@ -111,7 +112,14 @@ def cross_corpus_dup_pairs(new_docs: DataFrame, index_docs: DataFrame,
     batch-sized; the index side is localCheckpoint'ed too because this
     entry point is the ad-hoc/driver-scale form — the production path for
     a large index is ``cross_corpus_dup_pairs_indexed`` over a persisted
-    ``build_band_index`` table, which never recomputes index signatures."""
+    ``build_band_index`` table, which never recomputes index signatures.
+
+    ``est_gate``: "auto" (default) applies ``est_prefilter_gate(cfg)`` —
+    safe for jaccard>=threshold / is_dup consumers (every in-repo one);
+    pass None to keep every sub-threshold candidate row (estimator
+    calibration, precision measurement), or an explicit float."""
+    if est_gate == "auto":
+        est_gate = est_prefilter_gate(cfg)
     sig_n = compute_signatures(new_docs, cfg, url_col, text_col).localCheckpoint()
     sig_i = compute_signatures(index_docs, cfg, url_col, text_col).localCheckpoint()
     cand = cross_candidate_pairs(sig_n, sig_i, cfg).select(
@@ -121,9 +129,7 @@ def cross_corpus_dup_pairs(new_docs: DataFrame, index_docs: DataFrame,
             .unionByName(index_docs.select(F.col(url_col), F.col(text_col))))
     ver = verified_pairs(cand, sigs, docs, cfg, url_col, text_col,
                          checkpoint_sigs=False,  # both inputs pre-materialized
-                         # downstream = jaccard>=threshold / is_dup consumers
-                         # (entry queries, tests): 6-sigma est gate is safe
-                         est_gate=est_prefilter_gate(cfg))
+                         est_gate=est_gate)
     return ver.select(F.col("url_a").alias("url_new"),
                       F.col("url_b").alias("url_idx"),
                       "est_sim", "jaccard", "is_dup")
@@ -289,12 +295,17 @@ def cross_corpus_dup_pairs_indexed(spark: SparkSession, new_docs: DataFrame,
                                    table: str, cfg: PipelineConfig,
                                    index_docs: DataFrame | None = None,
                                    url_col: str = "url",
-                                   text_col: str = "text") -> DataFrame:
+                                   text_col: str = "text",
+                                   est_gate: float | None | str = "auto") -> DataFrame:
     """Verified near-dup pairs of a daily batch vs a ``build_band_index``
     table. Index signatures AND raw texts come from the bucketed
     ``<table>_sigs`` catalog table (no signature recompute, no index-side
     Exchange in the candidate join); pass ``index_docs`` only to override
-    the stored texts."""
+    the stored texts. ``est_gate`` as in ``cross_corpus_dup_pairs`` —
+    both paths gate identically by default (the equality test compares
+    their full outputs)."""
+    if est_gate == "auto":
+        est_gate = est_prefilter_gate(cfg)
     sig_n = compute_signatures(new_docs, cfg, url_col, text_col).localCheckpoint()
     cand = cross_candidate_pairs_indexed(spark, sig_n, table).select(
         F.col("url_new").alias("url_a"), F.col("url_idx").alias("url_b"))
@@ -306,11 +317,9 @@ def cross_corpus_dup_pairs_indexed(spark: SparkSession, new_docs: DataFrame,
     docs = (new_docs.select(F.col(url_col).alias("url"),
                             F.col(text_col).alias("text"))
             .unionByName(idx_texts))
-    # est gate: same consumers as the ad-hoc form — both paths gate
-    # identically (the equality test compares their full outputs)
     ver = verified_pairs(cand, sigs, docs, cfg, "url", "text",
                          checkpoint_sigs=False,  # parquet-backed + batch ckpt
-                         est_gate=est_prefilter_gate(cfg))
+                         est_gate=est_gate)
     return ver.select(F.col("url_a").alias("url_new"),
                       F.col("url_b").alias("url_idx"),
                       "est_sim", "jaccard", "is_dup")

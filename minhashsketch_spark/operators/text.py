@@ -231,11 +231,38 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-# corpora at or under this many docs get their aggregated (doc, term, tf)
-# frame eagerly materialized inside tfidf_top_terms so the corpus is
-# scanned once for tf + df (2M docs x ~50 distinct terms x ~30 B ~ 3 GB —
-# bounded executor storage); larger corpora keep the lazy two-scan plan
+# corpora under BOTH limits get their aggregated (doc, term, tf) frame
+# eagerly materialized inside tfidf_top_terms so the corpus is scanned
+# once for tf + df; anything larger (or of unknowable width) keeps the
+# lazy two-scan plan. The doc limit alone would mis-scale on wide
+# documents (tf rows grow with docs x distinct-terms-per-doc), so the
+# file-backed byte size bounds the token volume too: 256 MB of input
+# (compressed) ~ <=1 GB of text ~ <=200M tokens, a few GB of (doc, term,
+# tf) rows at worst — bounded executor storage either way.
 TFIDF_EAGER_DOC_LIMIT = 2_000_000
+TFIDF_EAGER_INPUT_BYTES = 256 * 1024 * 1024
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk size of a file-backed frame (None when not file-backed
+    or any stat fails) — same Hadoop-FS probe as pipeline.input_fingerprint."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sc = df.sparkSession.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    jpath = sc._jvm.org.apache.hadoop.fs.Path
+    total = 0
+    for f in files:
+        try:
+            p = jpath(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        except Exception:
+            return None
+    return total
 
 
 def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
@@ -271,12 +298,14 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     # tf has two consumers (the df aggregation and the join back) and the
     # identical-subtree exchange is NOT reused by the planner (the plans
-    # show two full corpus scans). Under a doc-count gate, eagerly
-    # materialize the aggregated tf so the corpus is scanned/exploded
-    # once; above it stay lazy — executor storage must never hold a
-    # corpus-scale (doc, term) frame (same gate pattern as the broadcast
-    # limits in verify.py). Values are unchanged either way.
-    if n_docs <= TFIDF_EAGER_DOC_LIMIT:
+    # show two full corpus scans). Under the doc-count AND input-bytes
+    # gates, eagerly materialize the aggregated tf so the corpus is
+    # scanned/exploded once; otherwise stay lazy — executor storage must
+    # never hold a corpus-scale (doc, term) frame (same gate pattern as
+    # the broadcast limits in verify.py). Values are unchanged either way.
+    nbytes = _input_bytes(docs)
+    if (n_docs <= TFIDF_EAGER_DOC_LIMIT
+            and nbytes is not None and nbytes <= TFIDF_EAGER_INPUT_BYTES):
         tf = tf.localCheckpoint()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     score = (F.col("tf").cast("double") * F.lit(float(n_docs))) / F.col("df")

@@ -49,7 +49,8 @@ def est_prefilter_gate(cfg: PipelineConfig) -> float:
     """Safe est_sim pre-gate for exact verification: ``threshold - 6
     sigma`` where sigma is the t-sample binomial std of the estimator at
     p = threshold. A pair whose exact jaccard is >= threshold has
-    P(est < gate) <~ 1e-9 (one-sided 6-sigma tail), so filtering
+    P(est < gate) <= ~3e-7 (Hoeffding; ~1e-9 by the normal
+    approximation), so filtering
     candidates below the gate BEFORE the shingle recompute + intersect
     cannot change any jaccard>=threshold or is_dup output (the gate is
     strictly below threshold). At the flagship t=128/thr=0.7 the gate is
@@ -225,16 +226,28 @@ def verified_pairs(pairs: DataFrame, signatures: DataFrame, docs: DataFrame,
     hash_b = small and n_pairs > DIRECT_JOIN_PAIR_LIMIT
     est = minhash_estimate(pairs, signatures, cfg, broadcast_pairs=small,
                            hash_join_b_side=hash_b)
-    if est_gate is not None:
-        # EAGER: the gated estimate is the new (far smaller) pair spine —
-        # materializing it runs the estimate job once and makes the
-        # surviving-pair count exact for the attach-plan gates below
-        est = (est.filter(F.col("est_sim") >= F.lit(est_gate))
-               .localCheckpoint())
-        n_pairs = est.count()
-        small = n_pairs <= BROADCAST_PAIR_LIMIT
-        hash_b = small and n_pairs > DIRECT_JOIN_PAIR_LIMIT
-        spine = est
+    # a clamped/zero gate filters nothing — take the ungated plan instead
+    # of paying an extra materialize+count for no pruning
+    if est_gate is not None and est_gate > 0.0:
+        est = est.filter(F.col("est_sim") >= F.lit(est_gate))
+        if small:
+            # EAGER: the gated estimate is the new (far smaller) pair
+            # spine — materializing it runs the estimate job once and
+            # makes the surviving-pair count exact for the attach-plan
+            # gates below. Bounded: pre-gate pairs are already under
+            # BROADCAST_PAIR_LIMIT here, so the checkpointed copy is too.
+            est = est.localCheckpoint()
+            n_pairs = est.count()
+            small = n_pairs <= BROADCAST_PAIR_LIMIT
+            hash_b = small and n_pairs > DIRECT_JOIN_PAIR_LIMIT
+            spine = est
+        else:
+            # above the broadcast limit nothing pair-scale may enter
+            # executor storage (localCheckpoint is non-reliable): keep the
+            # gate as an inline filter before the attach joins (est is
+            # consumed once, so no recompute) and derive the shingle urls
+            # from the pair superset — extra shingle rows, same output
+            spine = pairs
     else:
         spine = pairs
     all_urls = (spine.select(F.col("url_a").alias("url"))

@@ -101,8 +101,12 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
     output is a public surface (``entry()`` returns it verbatim); callers
     that only consume ``clusters`` / ``is_dup`` (curate) pass
     ``est_prefilter_gate(cfg)`` and skip exact-verifying the ~98% of LSH
-    candidates that are random band collisions. The stage key folds the
-    gate in so a resume never mixes gated and ungated stage tables.
+    candidates that are random band collisions. The gate is folded into
+    the VERIFIED stage's name only: signatures/candidates are
+    gate-independent and stay shared across gated/ungated runs on the
+    same checkpoint root, and clusters are bit-identical either way (the
+    gate preserves every is_dup row), so a resume can never mix
+    incompatible stage tables.
     """
     if checkpoint_root is None:
         import tempfile
@@ -110,9 +114,13 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
         checkpoint_root = tempfile.mkdtemp(prefix="mhs_stages_")
         _track_auto_root(checkpoint_root)
     key = stage_key or cfg.config_hash()
-    if est_gate is not None:
-        key += f"-g{est_gate:.6f}"
     store = StageStore(spark, checkpoint_root, key) if checkpoint_root else None
+    # the gate changes only the verified stage's contents: fold it into
+    # THAT stage name, so the expensive gate-independent
+    # signatures/candidates stages (and the bit-identical clusters) stay
+    # shared between gated and ungated runs on the same checkpoint_root
+    gate_sfx = (f"-g{est_gate:.6f}"
+                if est_gate is not None and est_gate > 0.0 else "")
     timings: dict[str, float] = {}
     # Arrow batch sizing for the signature UDF — the analogue of the
     # reference's CHUNKS sizing (src/MinhashSketch.cu:304-330)
@@ -145,7 +153,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
 
     candidates = stage("candidates", lambda: candidate_pairs(signatures, cfg),
                        metrics=cand_metrics)
-    verified = stage("verified",
+    verified = stage(f"verified{gate_sfx}",
                      # signatures + candidates are parquet stage tables here:
                      # re-planning them is ~free, so skip verified_pairs'
                      # executor-storage copies (localCheckpoint) of both
@@ -159,9 +167,12 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig,
                      extra_aggs={"n_dup_pairs":
                                  F.sum(F.col("is_dup").cast("long"))})
     n_edges = None
-    if store is not None and store.exists("verified"):
-        m = store.manifest("verified").get("metrics", {})
+    if store is not None and store.exists(f"verified{gate_sfx}"):
+        m = store.manifest(f"verified{gate_sfx}").get("metrics", {})
         n_edges = m.get("n_dup_pairs")
+    # clusters are gate-INDEPENDENT (the gate preserves every is_dup row
+    # bit-identically), so the stage name stays unsuffixed and is shared
+    # between gated and ungated runs
     clusters = stage("clusters",
                      lambda: connected_components(
                          verified.filter("is_dup").select("url_a", "url_b"),

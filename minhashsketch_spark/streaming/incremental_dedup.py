@@ -77,11 +77,15 @@ def _read_delta(spark: SparkSession, delta_path: str,
 def dedup_batch_against_index(spark: SparkSession, batch_df: DataFrame,
                               batch_id: int, index_table: str,
                               delta_path: str, cfg: PipelineConfig,
-                              sig_n: DataFrame | None = None) -> DataFrame:
+                              sig_n: DataFrame | None = None,
+                              est_gate: float | None | str = "auto") -> DataFrame:
     """One micro-batch: verified (url_new, url_idx, est_sim, jaccard,
     is_dup) vs seed index + earlier deltas. Pure function of its inputs.
     ``sig_n``: pre-materialized batch signatures (the streaming handler
-    computes them once and shares them with the delta write)."""
+    computes them once and shares them with the delta write).
+    ``est_gate``: "auto" applies ``est_prefilter_gate(cfg)`` (safe for the
+    jaccard>=threshold / is_dup consumers of the pairs output); None keeps
+    every sub-threshold candidate row."""
     if sig_n is None:
         sig_n = compute_signatures(batch_df, cfg).localCheckpoint()
     idx_sigs = spark.table(f"{index_table}_sigs")
@@ -139,10 +143,12 @@ def dedup_batch_against_index(spark: SparkSession, batch_df: DataFrame,
     # (the entry query, compaction, the tests), so the 6-sigma est
     # pre-gate is safe: sub-gate band collisions never get their shingles
     # recomputed, and the per-batch pairs partitions stay tiny
+    if est_gate == "auto":
+        est_gate = est_prefilter_gate(cfg)
     ver = verified_pairs(cand, all_sigs, all_docs, cfg,
                          checkpoint_sigs=False,  # batch ckpt'd, rest parquet
                          checkpoint_pairs=False,  # materialized above
-                         est_gate=est_prefilter_gate(cfg))
+                         est_gate=est_gate)
     return ver.select(F.col("url_a").alias("url_new"),
                       F.col("url_b").alias("url_idx"),
                       "est_sim", "jaccard", "is_dup")
